@@ -1,0 +1,55 @@
+"""Checkpoint save/load.
+
+Replaces torch.save/.load `.pth.tar` shuttles (tools/utils.py:118-123,
+train_search.py:98-103,310-315) with pickled numpy pytrees. Device arrays
+are pulled to host numpy on save, so checkpoints are portable and contain no
+framework objects. Formats:
+
+- search checkpoint: {'params', 'state', 'arch_params', 'opt_state'?,
+  'mc_mask_dddict', 'epoch', 'T'}
+- eval checkpoint: {'epoch', 'params', 'state', 'opt_state',
+  'best_acc_top1', 'best_acc_top5'}
+- model.config JSON stays the portable architecture format (unchanged).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import shutil
+
+import jax
+import numpy as np
+
+
+def to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint_file(obj, path):
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(to_numpy_tree(obj), f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_checkpoint(state, is_best, save_dir, name="checkpoint.pkl",
+                    best_name="model_best.pkl"):
+    """Save + best-copy (tools/utils.py:118-123)."""
+    filename = os.path.join(save_dir, name)
+    save_checkpoint_file(state, filename)
+    if is_best:
+        shutil.copyfile(filename, os.path.join(save_dir, best_name))
+    return filename
+
+
+def create_exp_dir(path):
+    """(tools/utils.py:126-135)"""
+    os.makedirs(path, exist_ok=True)
+    print(f"Experiment dir : {path}")
+    return path
