@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: supernet search steps/sec on one TPU chip.
+
+Measures the steady-state rate of the bi-level search inner loop exactly as
+train_search.py runs it after warmup epochs: every step one bi-sampling
+weight step (two hard-sampled forward/backward), every 2nd step one soft
+arch step over all 8 candidate branches (the reference hot loop,
+train_search.py:357-432). ImageNet-100 shapes: batch 32, 224x224, bf16.
+
+Baseline: the reference completes the identical schedule — 90 epochs x 3192
+weight steps on ImageNet-100 — in 1.8 Titan RTX days (README.md:5), i.e.
+287,316 weight steps / 155,520 s = 1.85 weight steps/sec. `vs_baseline` is
+our rate / 1.85.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_STEPS_PER_SEC = 287316.0 / (1.8 * 24 * 3600)  # 1.847
+
+
+def main():
+    from tfnas_tpu.cost.lut import lat_vectors_for_mc, load_lat_lookup
+    from tfnas_tpu.models import search_space as ss
+    from tfnas_tpu.models.supernet import SuperNetwork
+    from tfnas_tpu.search.parser import get_mc_num_dddict
+    from tfnas_tpu.search.train_step import (adam_init, make_search_steps,
+                                             zeros_like_momentum)
+
+    batch, size, ncls = 32, 224, 100
+    net = SuperNetwork(ncls)
+    key = jax.random.PRNGKey(0)
+    params, arch_params = net.init(key)
+    mc_mask = ss.build_mc_mask_dddict()
+    masks = net.device_masks(mc_mask)
+    update_masks = net.update_masks(params, mc_mask)
+
+    try:
+        lut = load_lat_lookup("latency_pkl/latency_tpu.pkl")
+    except FileNotFoundError:
+        lut = None
+    if lut is not None:
+        lat_vec = jnp.asarray(lat_vectors_for_mc(
+            lut, get_mc_num_dddict(mc_mask)))
+        base_lat = jnp.float32(lut["base"])
+        target_lat = float(np.asarray(lat_vec).max(1).sum() + lut["base"]) * 0.6
+    else:
+        lat_vec = jnp.ones((ss.TOTAL_BLOCKS, ss.NUM_OPS), jnp.float32)
+        base_lat = jnp.float32(1.0)
+        target_lat = 15.0
+
+    steps = make_search_steps(net, num_classes=ncls, target_lat=target_lat)
+    mom = zeros_like_momentum(params)
+    opt_a = adam_init(arch_params)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, size, size, 3), np.float32),
+                    jnp.bfloat16)
+    y = jnp.asarray(rng.integers(0, ncls, batch).astype(np.int32))
+    lr = jnp.float32(0.025)
+    T = jnp.float32(5.0)
+
+    def one_iter(params, mom, arch_params, opt_a, i):
+        k = jax.random.fold_in(key, i)
+        params, mom, m = steps.weight_step(params, arch_params, mom, masks,
+                                           update_masks, x, y, lr, k)
+        if i % 2 == 0:
+            arch_params, opt_a, _ = steps.arch_step(
+                params, arch_params, opt_a, masks, x, y, lat_vec, base_lat,
+                T, jax.random.fold_in(k, 1))
+        return params, mom, arch_params, opt_a, m
+
+    # compile + warmup
+    for i in range(6):
+        params, mom, arch_params, opt_a, m = one_iter(
+            params, mom, arch_params, opt_a, i)
+    jax.block_until_ready(m["loss"])
+
+    n_timed = 40
+    tic = time.perf_counter()
+    for i in range(n_timed):
+        params, mom, arch_params, opt_a, m = one_iter(
+            params, mom, arch_params, opt_a, i)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - tic
+
+    rate = n_timed / dt
+    print(json.dumps({
+        "metric": "supernet_search_weight_steps_per_sec",
+        "value": round(rate, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(rate / BASELINE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

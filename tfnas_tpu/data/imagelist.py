@@ -1,0 +1,171 @@
+"""ImageList dataset + threaded prefetching loader.
+
+Reference parity: dataset/dataset.py (ImageList, default_list_reader,
+pil_loader) and the DataLoader usage in the drivers. List files are the same
+'relpath label' text format; the in-repo ImageNet-100 split lists of the
+reference are consumed as-is.
+
+TPU-native differences: batches are NHWC float32 (or bf16) numpy arrays,
+assembled by a thread pool (PIL decode releases the GIL) and double-buffered
+onto the device by `DevicePrefetcher`. With `host_shard=(i, n)` the list is
+sharded per host — the DistributedSampler equivalent
+(train_eval_amp.py:220-222).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import queue
+import threading
+
+import numpy as np
+
+from .transforms import train_transform, val_transform
+
+
+def default_list_reader(list_path):
+    """'relpath label' lines (dataset/dataset.py:22-29)."""
+    img_list = []
+    with open(list_path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            img_path, label = line.split(" ")
+            img_list.append((img_path, int(label)))
+    return img_list
+
+
+def pil_loader(path):
+    from PIL import Image
+    with Image.open(path) as img:
+        return img.convert("RGB").copy()
+
+
+class ImageList:
+    """Map-style dataset (dataset/dataset.py:32-49)."""
+
+    def __init__(self, root, list_path, training, image_size=224,
+                 list_reader=default_list_reader, loader=pil_loader,
+                 host_shard=None):
+        self.root = root
+        self.img_list = list_reader(list_path)
+        if host_shard is not None:
+            i, n = host_shard
+            self.img_list = self.img_list[i::n]
+        self.training = training
+        self.image_size = image_size
+        self.loader = loader
+
+    def __len__(self):
+        return len(self.img_list)
+
+    def get(self, index, rng):
+        img_path, target = self.img_list[index]
+        img = self.loader(os.path.join(self.root, img_path))
+        if self.training:
+            x = train_transform(img, rng, self.image_size)
+        else:
+            x = val_transform(img, crop=self.image_size)
+        return x, target
+
+
+class DataLoader:
+    """Threaded batch loader: shuffle per epoch, drop_last for static shapes
+    (XLA needs fixed batch dims), prefetch via a bounded queue."""
+
+    def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
+                 seed=0, drop_last=True, prefetch=4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        rng = np.random.default_rng((self.seed, self.epoch))
+        if self.shuffle:
+            rng.shuffle(order)
+        nb = len(self)
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def load_batch(bi):
+            idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+            xs = np.empty((len(idxs), self.dataset.image_size,
+                           self.dataset.image_size, 3), np.float32)
+            ys = np.empty((len(idxs),), np.int32)
+            sub = np.random.default_rng((self.seed, self.epoch, bi))
+            for j, i in enumerate(idxs):
+                x, y = self.dataset.get(int(i), sub)
+                xs[j], ys[j] = x, y
+            return xs, ys
+
+        def producer():
+            # bounded sliding window of in-flight batches
+            window = self.num_workers + self.prefetch
+            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                futs = {}
+                nxt = 0
+                for bi in range(nb):
+                    while nxt < nb and len(futs) < window:
+                        futs[nxt] = pool.submit(load_batch, nxt)
+                        nxt += 1
+                    if stop.is_set():
+                        break
+                    q.put(futs.pop(bi).result())
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+class DevicePrefetcher:
+    """Overlap host->device transfer with compute: keep `depth` batches in
+    flight via jax.device_put (the pin_memory/non_blocking equivalent,
+    train_search.py:331-332)."""
+
+    def __init__(self, it, depth=2, sharding=None):
+        import jax
+        self._jax = jax
+        self.it = iter(it)
+        self.depth = depth
+        self.sharding = sharding
+        self.buf = []
+
+    def _put(self, batch):
+        if self.sharding is not None:
+            return tuple(self._jax.device_put(b, self.sharding_for(b))
+                         for b in batch)
+        return tuple(self._jax.device_put(b) for b in batch)
+
+    def sharding_for(self, b):
+        return self.sharding
+
+    def __iter__(self):
+        for batch in self.it:
+            self.buf.append(self._put(batch))
+            if len(self.buf) > self.depth:
+                yield self.buf.pop(0)
+        while self.buf:
+            yield self.buf.pop(0)

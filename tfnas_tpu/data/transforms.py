@@ -1,0 +1,150 @@
+"""Numpy/PIL image transforms reproducing the reference's torchvision
+pipelines (train_search.py:124-141, train_eval.py:134-150):
+
+train: RandomResizedCrop(224) + RandomHorizontalFlip +
+       ColorJitter(brightness=0.4, contrast=0.4, saturation=0.4, hue=0.2) +
+       Normalize(IMAGENET_MEAN, IMAGENET_STD)
+val:   Resize(256) + CenterCrop(224) + Normalize
+
+Implemented with PIL for decode/resize and numpy for the photometric ops (no
+torchvision dependency). Output is float32 HWC (NHWC batches), the TPU-native
+layout.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def random_resized_crop(img, rng, size=224, scale=(0.08, 1.0),
+                        ratio=(3 / 4, 4 / 3)):
+    """torchvision.RandomResizedCrop semantics (10 tries then center
+    fallback)."""
+    from PIL import Image
+    w, h = img.size
+    area = w * h
+    for _ in range(10):
+        target_area = rng.uniform(*scale) * area
+        log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+        aspect = math.exp(rng.uniform(*log_ratio))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            x0 = rng.integers(0, w - cw + 1)
+            y0 = rng.integers(0, h - ch + 1)
+            img = img.crop((x0, y0, x0 + cw, y0 + ch))
+            return img.resize((size, size), Image.BILINEAR)
+    # fallback: center crop
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        cw, ch = int(round(h * ratio[1])), h
+    else:
+        cw, ch = w, h
+    x0, y0 = (w - cw) // 2, (h - ch) // 2
+    return img.crop((x0, y0, x0 + cw, y0 + ch)).resize((size, size),
+                                                       Image.BILINEAR)
+
+
+def resize_center_crop(img, resize=256, crop=224):
+    from PIL import Image
+    w, h = img.size
+    if w < h:
+        nw, nh = resize, int(round(h * resize / w))
+    else:
+        nw, nh = int(round(w * resize / h)), resize
+    img = img.resize((nw, nh), Image.BILINEAR)
+    x0, y0 = (nw - crop) // 2, (nh - crop) // 2
+    return img.crop((x0, y0, x0 + crop, y0 + crop))
+
+
+def _rgb_to_gray(x):
+    # itu-r 601-2 luma, matching PIL convert('L') used by torchvision
+    return (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+
+
+def adjust_brightness(x, factor):
+    return x * factor
+
+
+def adjust_contrast(x, factor):
+    mean = _rgb_to_gray(x).mean()
+    return (x - mean) * factor + mean
+
+
+def adjust_saturation(x, factor):
+    gray = _rgb_to_gray(x)[..., None]
+    return (x - gray) * factor + gray
+
+
+def adjust_hue(x, factor):
+    """Shift hue by `factor` (in turns, [-0.5, 0.5]) via HSV round-trip."""
+    maxc = x.max(-1)
+    minc = x.min(-1)
+    v = maxc
+    delta = maxc - minc
+    s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
+    dz = np.maximum(delta, 1e-12)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    h = np.where(maxc == r, ((g - b) / dz) % 6.0,
+                 np.where(maxc == g, (b - r) / dz + 2.0, (r - g) / dz + 4.0))
+    h = np.where(delta == 0, 0.0, h) / 6.0
+    h = (h + factor) % 1.0
+
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int32) % 6
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return np.stack([r, g, b], axis=-1)
+
+
+def color_jitter(x, rng, brightness=0.4, contrast=0.4, saturation=0.4,
+                 hue=0.2):
+    """Random-order jitter as torchvision.ColorJitter. x: float [0,1] HWC."""
+    ops = []
+    if brightness > 0:
+        f = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(lambda a: adjust_brightness(a, f))
+    if contrast > 0:
+        f = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        ops.append(lambda a: adjust_contrast(a, f))
+    if saturation > 0:
+        f = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+        ops.append(lambda a: adjust_saturation(a, f))
+    if hue > 0:
+        f = rng.uniform(-hue, hue)
+        ops.append(lambda a: adjust_hue(a, f))
+    order = rng.permutation(len(ops))
+    for j in order:
+        x = ops[j](x)
+    return np.clip(x, 0.0, 1.0)
+
+
+def normalize(x):
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def train_transform(img, rng, size=224):
+    img = random_resized_crop(img, rng, size)
+    x = np.asarray(img, np.float32) / 255.0
+    if rng.random() < 0.5:
+        x = x[:, ::-1, :]
+    x = color_jitter(x, rng)
+    return normalize(x).astype(np.float32)
+
+
+def val_transform(img, resize=256, crop=224):
+    img = resize_center_crop(img, resize, crop)
+    x = np.asarray(img, np.float32) / 255.0
+    return normalize(x).astype(np.float32)

@@ -52,6 +52,9 @@ def conv2d(x, kernel, *, stride=1, groups=1, bias=None):
     """
     kh, kw = kernel.shape[0], kernel.shape[1]
     pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    # No explicit preferred_element_type: TPU MXU accumulates bf16
+    # convolutions in fp32 internally, and keeping in/out dtypes equal keeps
+    # the transpose (gradient) convolutions dtype-consistent under AD.
     y = jax.lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
@@ -59,19 +62,17 @@ def conv2d(x, kernel, *, stride=1, groups=1, bias=None):
         padding=pad,
         dimension_numbers=DIMSPEC,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
-    return y.astype(x.dtype)
+        y = y + bias.astype(y.dtype)
+    return y
 
 
 def linear(x, params):
-    y = jnp.dot(x, params["kernel"].astype(x.dtype),
-                preferred_element_type=jnp.float32)
+    y = jnp.dot(x, params["kernel"].astype(x.dtype))
     if "bias" in params:
-        y = y + params["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+        y = y + params["bias"].astype(y.dtype)
+    return y
 
 
 def global_avg_pool(x):

@@ -115,8 +115,9 @@ class ConvLayer:
             elif op == "bn":
                 if self.use_bn:
                     x, new_state["bn"] = batch_norm(
-                        x, params["bn"], state["bn"], affine=self.affine,
-                        training=training, axis_name=bn_axis_name)
+                        x, params.get("bn", {}), state.get("bn", {}),
+                        affine=self.affine, training=training,
+                        axis_name=bn_axis_name)
             elif op == "act":
                 x = apply_act(x, self.act_func)
             else:
@@ -163,8 +164,9 @@ class IdentityLayer:
         for op in self.ops_list:
             if op == "bn" and self.use_bn:
                 x, new_state["bn"] = batch_norm(
-                    x, params["bn"], state["bn"], affine=self.affine,
-                    training=training, axis_name=bn_axis_name)
+                    x, params.get("bn", {}), state.get("bn", {}),
+                    affine=self.affine, training=training,
+                    axis_name=bn_axis_name)
             elif op == "act":
                 x = apply_act(x, self.act_func)
         return x, new_state
@@ -236,8 +238,9 @@ class LinearLayer:
             elif op == "bn":
                 if self.use_bn:
                     x, new_state["bn"] = batch_norm(
-                        x, params["bn"], state["bn"], affine=self.affine,
-                        training=training, axis_name=bn_axis_name)
+                        x, params.get("bn", {}), state.get("bn", {}),
+                        affine=self.affine, training=training,
+                        axis_name=bn_axis_name)
             elif op == "act":
                 x = apply_act(x, self.act_func)
             else:
@@ -387,30 +390,33 @@ class MBInvertedResBlock:
         res = x
 
         if self.has_expand:
-            p, s = params["inverted_bottleneck"], state["inverted_bottleneck"]
+            p = params["inverted_bottleneck"]
+            s = state.get("inverted_bottleneck", {})
             x = conv2d(x, p["conv"]["kernel"], stride=1, groups=self.groups,
                        bias=p["conv"].get("bias"))
             if channel_mask is not None:
                 x = x * channel_mask.astype(x.dtype)
             if self.use_bn:
-                x, new_state["inverted_bottleneck"]["bn"] = batch_norm(
-                    x, p["bn"], s["bn"], affine=self.affine,
+                x, bn_state = batch_norm(
+                    x, p.get("bn", {}), s.get("bn", {}), affine=self.affine,
                     training=training, axis_name=bn_axis_name)
+                new_state.setdefault("inverted_bottleneck", {})["bn"] = bn_state
             x = apply_act(x, self.act_func)
             if self.has_shuffle and self.groups > 1:
                 x = channel_shuffle(x, self.groups)
         elif channel_mask is not None:
             x = x * channel_mask.astype(x.dtype)
 
-        p, s = params["depth_conv"], state["depth_conv"]
+        p, s = params["depth_conv"], state.get("depth_conv", {})
         x = conv2d(x, p["conv"]["kernel"], stride=self.stride,
                    groups=self.mid_channels, bias=p["conv"].get("bias"))
         if channel_mask is not None:
             x = x * channel_mask.astype(x.dtype)
         if self.use_bn:
-            x, new_state["depth_conv"]["bn"] = batch_norm(
-                x, p["bn"], s["bn"], affine=self.affine,
+            x, bn_state = batch_norm(
+                x, p.get("bn", {}), s.get("bn", {}), affine=self.affine,
                 training=training, axis_name=bn_axis_name)
+            new_state.setdefault("depth_conv", {})["bn"] = bn_state
         x = apply_act(x, self.act_func)
 
         if self.has_se:
@@ -422,13 +428,14 @@ class MBInvertedResBlock:
             gate = jax.nn.sigmoid(z.astype(jnp.float32)).astype(x.dtype)
             x = x * gate[:, None, None, :]
 
-        p, s = params["point_linear"], state["point_linear"]
+        p, s = params["point_linear"], state.get("point_linear", {})
         x = conv2d(x, p["conv"]["kernel"], stride=1, groups=self.groups,
                    bias=p["conv"].get("bias"))
         if self.use_bn:
-            x, new_state["point_linear"]["bn"] = batch_norm(
-                x, p["bn"], s["bn"], affine=self.affine,
+            x, bn_state = batch_norm(
+                x, p.get("bn", {}), s.get("bn", {}), affine=self.affine,
                 training=training, axis_name=bn_axis_name)
+            new_state.setdefault("point_linear", {})["bn"] = bn_state
         if self.has_shuffle and self.groups > 1:
             x = channel_shuffle(x, self.groups)
 

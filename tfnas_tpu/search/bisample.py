@@ -1,0 +1,53 @@
+"""Functional Gumbel / bi-sampling for the supernet.
+
+Reference: MixedOP.forward sampling modes (model_search.py:49-85) and the
+bi-sampling trick (train_search.py:375-379): per weight step, draw one
+Gumbel sample per block, then one uniform sample from the REMAINING 7 ops
+(the first pick is switched off). The reference tracks this with Python-side
+`switches` state; here both draws are pure `jax.random` index math, jittable
+and reproducible.
+
+Note argmax(gumbel_softmax(log_softmax(a), T)) == argmax(a + g) is an exact
+categorical sample of softmax(a) independent of T, so the hard draws use
+`jax.random.categorical` directly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_gumbel_indices(key, log_alphas):
+    """One categorical draw per block: mode='gumbel' hard pick
+    (model_search.py:61-64). log_alphas: [B, O] -> int32 [B]."""
+    return jax.random.categorical(key, log_alphas, axis=-1).astype(jnp.int32)
+
+
+def sample_random_excluding(key, excluded, num_ops):
+    """mode='random' draw restricted to the 7 ops not picked by the paired
+    gumbel draw (model_search.py:78-81 with switches from :64).
+
+    excluded: int32 [B]. Returns int32 [B] uniform over {0..num_ops-1} minus
+    excluded, via draw r in [0, num_ops-1) and skip-shift past the hole."""
+    r = jax.random.randint(key, excluded.shape, 0, num_ops - 1)
+    return (r + (r >= excluded).astype(r.dtype)).astype(jnp.int32)
+
+
+def gumbel_softmax_weights(key, log_alphas, temperature):
+    """Soft Gumbel weights for the arch step (model_search.py:87):
+    softmax((log_alphas + g) / T), g ~ Gumbel(0,1). [B, O] -> [B, O]."""
+    g = -jnp.log(-jnp.log(
+        jax.random.uniform(key, log_alphas.shape, jnp.float32,
+                           minval=1e-10, maxval=1.0) + 1e-10))
+    return jax.nn.softmax((log_alphas + g) / temperature, axis=-1)
+
+
+def sample_min_alphas(log_alphas):
+    """mode='min_alphas' (model_search.py:70-73)."""
+    return jnp.argmin(log_alphas, axis=-1).astype(jnp.int32)
+
+
+def sample_max_alphas(log_alphas):
+    """mode='max_alphas' (model_search.py:74-77)."""
+    return jnp.argmax(log_alphas, axis=-1).astype(jnp.int32)

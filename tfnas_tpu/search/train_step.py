@@ -1,0 +1,201 @@
+"""Jitted bi-level search steps.
+
+Reference: train_wo_arch / train_w_arch (train_search.py:318-432). Each of
+the three steps (warmup weight step, bi-sampling weight step, soft arch
+step) is ONE jitted function over fixed shapes; everything dynamic — learning
+rate, temperature, channel masks, per-op latency vectors, PRNG keys — enters
+as data, so the full 90-epoch search triggers zero recompiles.
+
+Optimizers are written out explicitly to match PyTorch semantics bit-for-bit:
+- weights: clip-by-global-norm(5.0) -> grad + wd*p -> momentum buffer ->
+  -lr * buf, with the final delta masked so inactive (masked-out) channels
+  stay frozen exactly like the reference's full-width checkpoint rows
+  (train_search.py:234-259). Momentum buffers are re-zeroed every epoch
+  because the reference recreates its optimizers per epoch
+  (train_search.py:196-206).
+- arch: torch.Adam(lr=a_lr, betas=(0.5, 0.999), weight_decay=5e-4) with the
+  same clip, followed by the log-softmax projection of BOTH log_alphas and
+  betas (train_search.py:421-422 projects every arch parameter).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.metrics import accuracy, cross_entropy
+from .bisample import (gumbel_softmax_weights, sample_gumbel_indices,
+                       sample_random_excluding)
+from ..models import search_space as ss
+
+
+# -- generic pytree optimizer pieces --------------------------------------
+
+def global_norm(tree):
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in jax.tree_util.tree_leaves(tree)))
+
+
+def clip_by_global_norm(tree, max_norm):
+    """torch.nn.utils.clip_grad_norm_ semantics: scale by
+    max_norm/(norm+1e-6) when that is < 1."""
+    norm = global_norm(tree)
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree_util.tree_map(lambda x: x * scale, tree), norm
+
+
+def sgd_momentum_update(params, grads, mom, update_masks, *, lr, momentum,
+                        weight_decay, grad_clip):
+    """One masked SGD+momentum step (torch.optim.SGD, dampening 0)."""
+    grads, _ = clip_by_global_norm(grads, grad_clip)
+    d = jax.tree_util.tree_map(
+        lambda g, p: g + weight_decay * p.astype(jnp.float32), grads, params)
+    mom = jax.tree_util.tree_map(lambda m, u: momentum * m + u, mom, d)
+    params = jax.tree_util.tree_map(
+        lambda p, m, km: p - lr * m * km, params, mom, update_masks)
+    return params, mom
+
+
+class AdamState(NamedTuple):
+    step: Any
+    mu: Any
+    nu: Any
+
+
+def adam_init(params):
+    z = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+    return AdamState(step=jnp.zeros((), jnp.int32), mu=z,
+                     nu=jax.tree_util.tree_map(jnp.copy, z))
+
+
+def adam_update(params, grads, st, *, lr, b1, b2, eps, weight_decay,
+                grad_clip):
+    """torch.optim.Adam with L2 weight decay folded into the gradient."""
+    grads, _ = clip_by_global_norm(grads, grad_clip)
+    grads = jax.tree_util.tree_map(
+        lambda g, p: g + weight_decay * p.astype(jnp.float32), grads, params)
+    step = st.step + 1
+    mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g, st.mu, grads)
+    nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                                st.nu, grads)
+    bc1 = 1 - b1 ** step.astype(jnp.float32)
+    bc2 = 1 - b2 ** step.astype(jnp.float32)
+    params = jax.tree_util.tree_map(
+        lambda p, m, v: p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps),
+        params, mu, nu)
+    return params, AdamState(step=step, mu=mu, nu=nu)
+
+
+# -- search steps ----------------------------------------------------------
+
+class SearchStepFns(NamedTuple):
+    warmup_step: Any     # weight step, single gumbel forward (epochs < 10)
+    weight_step: Any     # bi-sampling weight step
+    arch_step: Any       # soft arch step
+    val_step: Any        # sampled validation forward
+
+
+def make_search_steps(net, *, num_classes, w_mom=0.9, w_wd=1e-5,
+                      a_lr=0.01, a_beta1=0.5, a_beta2=0.999, a_wd=5e-4,
+                      grad_clip=5.0, lambda_lat=0.1, target_lat=15.0):
+    """Build the jitted step functions for SuperNetwork `net`."""
+
+    def _weight_loss_bisample(params, arch_params, masks, x, y, idx_g, idx_r):
+        logits_g = net.apply_sampled(params, arch_params, masks, x, idx_g,
+                                     training=True)
+        logits_r = net.apply_sampled(params, arch_params, masks, x, idx_r,
+                                     training=True)
+        loss = cross_entropy(logits_g, y) + cross_entropy(logits_r, y)
+        return loss, logits_g
+
+    def _weight_loss_single(params, arch_params, masks, x, y, idx_g):
+        logits_g = net.apply_sampled(params, arch_params, masks, x, idx_g,
+                                     training=True)
+        return cross_entropy(logits_g, y), logits_g
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def warmup_step(params, arch_params, mom, masks, update_masks, x, y,
+                    lr, key):
+        """train_wo_arch inner step (train_search.py:330-349)."""
+        idx_g = sample_gumbel_indices(key, arch_params["log_alphas"])
+        (loss, logits), grads = jax.value_and_grad(
+            _weight_loss_single, has_aux=True)(
+                params, arch_params, masks, x, y, idx_g)
+        params, mom = sgd_momentum_update(
+            params, grads, mom, update_masks, lr=lr, momentum=w_mom,
+            weight_decay=w_wd, grad_clip=grad_clip)
+        top1, top5 = accuracy(logits, y, topk=(1, 5))
+        return params, mom, {"loss": loss, "top1": top1, "top5": top5}
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def weight_step(params, arch_params, mom, masks, update_masks, x, y,
+                    lr, key):
+        """Bi-sampling weight step (train_search.py:370-391)."""
+        kg, kr = jax.random.split(key)
+        idx_g = sample_gumbel_indices(kg, arch_params["log_alphas"])
+        idx_r = sample_random_excluding(kr, idx_g, ss.NUM_OPS)
+        (loss, logits), grads = jax.value_and_grad(
+            _weight_loss_bisample, has_aux=True)(
+                params, arch_params, masks, x, y, idx_g, idx_r)
+        params, mom = sgd_momentum_update(
+            params, grads, mom, update_masks, lr=lr, momentum=w_mom,
+            weight_decay=w_wd, grad_clip=grad_clip)
+        top1, top5 = accuracy(logits, y, topk=(1, 5))
+        return params, mom, {"loss": loss, "top1": top1, "top5": top5}
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def arch_step(params, arch_params, opt_a, masks, x, y, lat_vec,
+                  base_lat, temperature, key):
+        """Soft arch step (train_search.py:393-422)."""
+        def loss_fn(a):
+            w = gumbel_softmax_weights(key, a["log_alphas"], temperature)
+            logits, lat = net.apply_soft(params, a, masks, x, w, lat_vec,
+                                         training=True)
+            lat = lat + base_lat
+            loss_a = cross_entropy(logits, y)
+            loss_l = jnp.abs(lat / target_lat - 1.0) * lambda_lat
+            return loss_a + loss_l, (loss_a, loss_l, lat)
+
+        (_, (loss_a, loss_l, lat)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(arch_params)
+        arch_params, opt_a = adam_update(
+            arch_params, grads, opt_a, lr=a_lr, b1=a_beta1, b2=a_beta2,
+            eps=1e-8, weight_decay=a_wd, grad_clip=grad_clip)
+        # Projection: every arch parameter -> log-probabilities
+        # (train_search.py:421-422 applies log_softmax to log_alphas AND betas)
+        arch_params = {
+            "log_alphas": jax.nn.log_softmax(arch_params["log_alphas"], -1),
+            "betas": {k: jax.nn.log_softmax(v, -1)
+                      for k, v in arch_params["betas"].items()},
+        }
+        return arch_params, opt_a, {"loss_a": loss_a, "loss_l": loss_l,
+                                    "lat": lat}
+
+    @jax.jit
+    def val_step(params, arch_params, masks, x, y, key):
+        """Sampled validation (train_search.py:435-462; BN stays in
+        batch-stat mode — the reference validates in .train())."""
+        idx_g = sample_gumbel_indices(key, arch_params["log_alphas"])
+        logits = net.apply_sampled(params, arch_params, masks, x, idx_g,
+                                   training=True)
+        loss = cross_entropy(logits, y)
+        top1, top5 = accuracy(logits, y, topk=(1, 5))
+        return {"loss": loss, "top1": top1, "top5": top5}
+
+    return SearchStepFns(warmup_step, weight_step, arch_step, val_step)
+
+
+def zeros_like_momentum(params):
+    return jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, jnp.float32), params)
+
+
+def cosine_lr_list(base_lr, epochs):
+    """Per-epoch cosine lr (torch CosineAnnealingLR closed form,
+    train_search.py:105-119)."""
+    import numpy as np
+    return [base_lr * (1 + np.cos(np.pi * e / epochs)) / 2
+            for e in range(epochs)]

@@ -1,0 +1,277 @@
+#!/usr/bin/env python
+"""TF-NAS supernet search driver, TPU-native.
+
+CLI contract matches the reference train_search.py:29-66 (same flags, same
+defaults, same checkpoint-per-epoch behavior). The training loop itself is
+redesigned: one jitted weight step + one jitted arch step run for the whole
+search with zero recompiles — width elasticity is channel masks, not network
+rebuilds (cf. reference train_search.py:155-315).
+
+Extra flags beyond the reference:
+  --bf16/--no_bf16    bfloat16 activations (default on; TPU-native AMP)
+  --synthetic         synthetic data (no ImageNet needed; smoke/bench)
+  --steps_per_epoch   cap steps per epoch (0 = full epoch)
+  --image_size        input resolution (default 224)
+"""
+
+import argparse
+import logging
+import pickle
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfnas_tpu.cost.lut import lat_vectors_for_mc, load_lat_lookup
+from tfnas_tpu.data import DataLoader, ImageList, synthetic_loader
+from tfnas_tpu.models import search_space as ss
+from tfnas_tpu.models.supernet import SuperNetwork
+from tfnas_tpu.search.elasticity import rewrite_masks_by_l1, shrink_or_expand
+from tfnas_tpu.search.parser import (get_mc_num_dddict,
+                                     get_op_and_depth_weights,
+                                     parse_architecture)
+from tfnas_tpu.search.train_step import (adam_init, cosine_lr_list,
+                                         make_search_steps,
+                                         zeros_like_momentum)
+from tfnas_tpu.utils import (AverageMeter, save_checkpoint_file,
+                             setup_experiment, to_numpy_tree)
+
+parser = argparse.ArgumentParser("searching TF-NAS (TPU)")
+# various path
+parser.add_argument('--img_root', type=str, default='',
+                    help='image root path (ImageNet train set)')
+parser.add_argument('--train_list', type=str,
+                    default="./dataset/ImageNet-100-effb0_train_cls_ratio0.8.txt")
+parser.add_argument('--val_list', type=str,
+                    default="./dataset/ImageNet-100-effb0_val_cls_ratio0.8.txt")
+parser.add_argument('--lookup_path', type=str,
+                    default="./latency_pkl/latency_tpu.pkl")
+parser.add_argument('--save', type=str, default='./checkpoints')
+# training hyper-parameters (reference defaults, train_search.py:40-64)
+parser.add_argument('--print_freq', type=int, default=100)
+parser.add_argument('--workers', type=int, default=4)
+parser.add_argument('--epochs', type=int, default=90)
+parser.add_argument('--warmup_epochs', type=int, default=10,
+                    help='weight-only epochs before arch steps')
+parser.add_argument('--batch_size', type=int, default=32)
+parser.add_argument('--w_lr', type=float, default=0.025)
+parser.add_argument('--w_mom', type=float, default=0.9)
+parser.add_argument('--w_wd', type=float, default=1e-5)
+parser.add_argument('--a_lr', type=float, default=0.01)
+parser.add_argument('--a_wd', type=float, default=5e-4)
+parser.add_argument('--a_beta1', type=float, default=0.5)
+parser.add_argument('--a_beta2', type=float, default=0.999)
+parser.add_argument('--grad_clip', type=float, default=5.0)
+parser.add_argument('--T', type=float, default=5.0)
+parser.add_argument('--T_decay', type=float, default=0.96)
+parser.add_argument('--num_classes', type=int, default=100)
+# others
+parser.add_argument('--seed', type=int, default=2)
+parser.add_argument('--note', type=str, default='try')
+# hyper parameters
+parser.add_argument('--lambda_lat', type=float, default=0.1)
+parser.add_argument('--target_lat', type=float, default=15.0)
+# TPU-native extras
+parser.add_argument('--bf16', action='store_true', default=True)
+parser.add_argument('--no_bf16', dest='bf16', action='store_false')
+parser.add_argument('--synthetic', action='store_true',
+                    help='use synthetic data instead of ImageNet lists')
+parser.add_argument('--steps_per_epoch', type=int, default=0)
+parser.add_argument('--image_size', type=int, default=224)
+
+
+def main():
+    args = parser.parse_args()
+    run_dir = setup_experiment(args.save, 'search', args.note)
+    logging.info("args = %s", args)
+    logging.info("jax devices: %s", jax.devices())
+
+    lat_lookup = load_lat_lookup(args.lookup_path)
+    mc_mask_dddict = ss.build_mc_mask_dddict()
+    mc_maxnum_dddict = get_mc_num_dddict(mc_mask_dddict, is_max=True)
+
+    net = SuperNetwork(args.num_classes)
+    key = jax.random.PRNGKey(args.seed)
+    key, init_key = jax.random.split(key)
+    params, arch_params = net.init(init_key)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    logging.info("param size = %fMB", n_params / 1e6)
+
+    steps = make_search_steps(
+        net, num_classes=args.num_classes, w_mom=args.w_mom, w_wd=args.w_wd,
+        a_lr=args.a_lr, a_beta1=args.a_beta1, a_beta2=args.a_beta2,
+        a_wd=args.a_wd, grad_clip=args.grad_clip,
+        lambda_lat=args.lambda_lat, target_lat=args.target_lat)
+    lr_list = cosine_lr_list(args.w_lr, args.epochs)
+
+    # save initial checkpoint (searched_model_00, train_search.py:98-103)
+    def save_epoch(epoch, T):
+        path = f"{run_dir}/searched_model_{epoch:02d}.pkl"
+        save_checkpoint_file({
+            "params": to_numpy_tree(params),
+            "arch_params": to_numpy_tree(arch_params),
+            "mc_mask_dddict": mc_mask_dddict,
+            "epoch": epoch,
+            "T": T,
+        }, path)
+        return path
+
+    save_epoch(0, args.T)
+
+    # data
+    def make_loaders():
+        if args.synthetic:
+            spe = args.steps_per_epoch or 100
+            return (lambda ep: synthetic_loader(
+                        args.batch_size, spe, args.num_classes,
+                        args.image_size, seed=ep),
+                    lambda ep: synthetic_loader(
+                        args.batch_size, max(spe // 4, 1), args.num_classes,
+                        args.image_size, seed=10_000 + ep))
+        train_ds = ImageList(args.img_root, args.train_list, training=True,
+                             image_size=args.image_size)
+        val_ds = ImageList(args.img_root, args.val_list, training=False,
+                           image_size=args.image_size)
+        tl = DataLoader(train_ds, args.batch_size, shuffle=True,
+                        num_workers=args.workers, seed=args.seed)
+        vl = DataLoader(val_ds, args.batch_size, shuffle=True,
+                        num_workers=args.workers, seed=args.seed + 1)
+
+        def train_iter(ep):
+            tl.set_epoch(ep)
+            it = iter(tl)
+            if args.steps_per_epoch:
+                import itertools
+                return itertools.islice(it, args.steps_per_epoch)
+            return it
+
+        def val_iter(ep):
+            vl.set_epoch(ep)
+            return iter(vl)
+        return train_iter, val_iter
+
+    train_iter, val_iter = make_loaders()
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    T = args.T
+    total_start = time.time()
+    for epoch in range(args.epochs):
+        mc_num_dddict = get_mc_num_dddict(mc_mask_dddict)
+        masks = net.device_masks(mc_mask_dddict)
+        update_masks = net.update_masks(params, mc_mask_dddict)
+        lat_vec = jnp.asarray(lat_vectors_for_mc(lat_lookup, mc_num_dddict))
+        base_lat = jnp.float32(lat_lookup["base"])
+
+        # fresh optimizers every epoch (train_search.py:196-206)
+        mom = zeros_like_momentum(params)
+        opt_a = adam_init(arch_params)
+        lr = jnp.float32(lr_list[epoch])
+        logging.info('Epoch: %d lr: %e T: %e', epoch, float(lr), T)
+
+        meters = {k: AverageMeter() for k in
+                  ("loss", "top1", "top5", "loss_a", "loss_l")}
+        pending = []  # (n, metrics) device-side, flushed lazily to avoid
+                      # forcing a host sync every step
+
+        def flush():
+            for n_, m_, keys_ in pending:
+                for k_ in keys_:
+                    meters[k_].update(float(m_[k_]), n_)
+            pending.clear()
+
+        epoch_start = time.time()
+        arch_batches = iter(val_iter(epoch)) if epoch >= args.warmup_epochs \
+            else None
+        nsteps = 0
+        for step, (x, y) in enumerate(train_iter(epoch)):
+            x = jnp.asarray(x, compute_dtype)
+            y = jnp.asarray(y)
+            key, k1 = jax.random.split(key)
+            if epoch < args.warmup_epochs:
+                params, mom, m = steps.warmup_step(
+                    params, arch_params, mom, masks, update_masks, x, y,
+                    lr, k1)
+            else:
+                params, mom, m = steps.weight_step(
+                    params, arch_params, mom, masks, update_masks, x, y,
+                    lr, k1)
+                if step % 2 == 0:
+                    try:
+                        xa, ya = next(arch_batches)
+                    except StopIteration:
+                        arch_batches = iter(val_iter(epoch))
+                        xa, ya = next(arch_batches)
+                    key, k2 = jax.random.split(key)
+                    arch_params, opt_a, ma = steps.arch_step(
+                        params, arch_params, opt_a, masks,
+                        jnp.asarray(xa, compute_dtype), jnp.asarray(ya),
+                        lat_vec, base_lat, jnp.float32(T), k2)
+                    pending.append((len(ya), ma, ("loss_a", "loss_l")))
+            pending.append((len(y), m, ("loss", "top1", "top5")))
+            nsteps += 1
+            if step % args.print_freq == 0:
+                flush()
+                logging.info(
+                    'TRAIN%s Step: %04d Objs: %f R1: %f R5: %f Objs_A: %f Objs_L: %f',
+                    ' wo_Arch' if epoch < args.warmup_epochs else ' w_Arch',
+                    step, meters["loss"].avg, meters["top1"].avg,
+                    meters["top5"].avg, meters["loss_a"].avg,
+                    meters["loss_l"].avg)
+
+        flush()
+        if epoch >= args.warmup_epochs:
+            T *= args.T_decay
+
+        # log arch parameters (train_search.py:216-224)
+        logging.info('The current arch parameters are:')
+        for row in np.exp(np.asarray(arch_params["log_alphas"])):
+            logging.info(' '.join(f'{p:.6f}' for p in row))
+        for stage in ss.STAGE_NAMES:
+            b = np.asarray(arch_params["betas"][stage])
+            sm = np.exp(b - b.max());  sm = sm / sm.sum()
+            logging.info(' '.join(f'{p:.6f}' for p in sm))
+        logging.info('Train_acc %f', meters["top1"].avg)
+        logging.info('Epoch time: %ds', time.time() - epoch_start)
+
+        # validation for last 5 epochs (train_search.py:229-232)
+        if args.epochs - epoch < 5:
+            vmeter = AverageMeter()
+            for x, y in val_iter(epoch):
+                key, kv = jax.random.split(key)
+                m = steps.val_step(params, arch_params, masks,
+                                   jnp.asarray(x, compute_dtype),
+                                   jnp.asarray(y), kv)
+                vmeter.update(float(m["top1"]), len(y))
+            logging.info('Val_acc %f', vmeter.avg)
+
+        # shrink / expand (train_search.py:261-307)
+        if epoch >= args.warmup_epochs:
+            logging.info('Now shrinking or expanding the arch')
+            op_weights, depth_weights = get_op_and_depth_weights(
+                {"arch_params": to_numpy_tree(arch_params)})
+            parsed_arch = parse_architecture(op_weights, depth_weights)
+            mc_num_dddict = get_mc_num_dddict(mc_mask_dddict)
+            mc_num_dddict, before_lat, after_lat = shrink_or_expand(
+                parsed_arch, mc_num_dddict, mc_maxnum_dddict,
+                ss.lat_lookup_key_dddict, lat_lookup, args.target_lat,
+                log=logging.info)
+            logging.info(
+                'Before, the current lat: %.4f, the target lat: %.4f',
+                before_lat, args.target_lat)
+            mc_mask_dddict = rewrite_masks_by_l1(
+                parsed_arch, mc_num_dddict, mc_mask_dddict,
+                to_numpy_tree(params))
+            logging.info(
+                'After, the current lat: %.4f, the target lat: %.4f',
+                after_lat, args.target_lat)
+
+        save_epoch(epoch + 1, T)
+
+    logging.info('Total searching time: %ds', time.time() - total_start)
+
+
+if __name__ == '__main__':
+    main()
