@@ -1,0 +1,139 @@
+"""Multi-device tests on the 8-device CPU fake backend: DP eval training
+with cross-replica BN, and the Pareto multi-search sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfnas_tpu.models import search_space as ss
+from tfnas_tpu.models.eval_net import EvalNetwork
+from tfnas_tpu.parallel import batch_sharding, make_mesh, make_eval_steps
+from tfnas_tpu.parallel.train_dp import init_eval_train_state
+from tfnas_tpu.search.parser import get_mc_num_dddict
+
+
+def tiny_net(num_classes=8):
+    from collections import OrderedDict
+    parsed = OrderedDict(
+        (stage, OrderedDict([("block1", 0)])) for stage in ss.STAGE_NAMES)
+    mc_num = get_mc_num_dddict(ss.build_mc_mask_dddict())
+    return EvalNetwork.from_parsed_arch(num_classes, parsed, mc_num,
+                                        dropout_rate=0.1,
+                                        drop_connect_rate=0.1)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape["data"] == 8 and mesh.shape["pareto"] == 1
+    mesh = make_mesh(8, pareto_groups=2)
+    assert mesh.shape["pareto"] == 2 and mesh.shape["data"] == 4
+
+
+def test_dp_eval_train_step_runs_and_syncs():
+    net = tiny_net()
+    mesh = make_mesh(8)
+    train_step, val_step = make_eval_steps(net, mesh, num_classes=8)
+    state = init_eval_train_state(net, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    sh = batch_sharding(mesh)
+    x = jax.device_put(jnp.asarray(
+        rng.standard_normal((16, 32, 32, 3), np.float32)), sh)
+    y = jax.device_put(jnp.asarray(
+        rng.integers(0, 8, 16).astype(np.int32)), sh)
+
+    state1, m = train_step(state, x, y, jnp.float32(0.1),
+                           jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    # params updated and replicated (single logical value)
+    k0 = np.asarray(state1.params["first_stem"]["conv"]["kernel"])
+    assert k0.shape == (3, 3, 3, 32)
+    mv = val_step(state1, x, y)
+    assert np.isfinite(float(mv["loss"]))
+
+
+def test_dp_matches_single_device():
+    """Global-batch DP step == single-device step on the same global batch
+    (sync-BN + pmean grads make them mathematically identical)."""
+    net = tiny_net()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3), np.float32))
+    y = jnp.asarray(rng.integers(0, 8, 8).astype(np.int32))
+
+    def run(n_dev):
+        mesh = make_mesh(n_dev)
+        train_step, _ = make_eval_steps(net, mesh, num_classes=8,
+                                        compute_dtype=jnp.float32)
+        state = init_eval_train_state(net, jax.random.PRNGKey(0))
+        sh = batch_sharding(mesh)
+        # drop dropout/drop-connect randomness differences: training rngs
+        # are folded per-shard, so use a net without stochastic parts
+        s1, m = train_step(state,
+                           jax.device_put(x, sh), jax.device_put(y, sh),
+                           jnp.float32(0.05), jax.random.PRNGKey(9))
+        return s1, m
+
+    # use a deterministic net (no dropout/dc) for exact comparison
+    from collections import OrderedDict
+    parsed = OrderedDict(
+        (stage, OrderedDict([("block1", 1)])) for stage in ss.STAGE_NAMES)
+    net = EvalNetwork.from_parsed_arch(
+        8, parsed, get_mc_num_dddict(ss.build_mc_mask_dddict()))
+
+    s_a, m_a = run(1)
+    s_b, m_b = run(4)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    ka = np.asarray(s_a.params["first_stem"]["conv"]["kernel"])
+    kb = np.asarray(s_b.params["first_stem"]["conv"]["kernel"])
+    np.testing.assert_allclose(ka, kb, rtol=1e-4, atol=1e-6)
+    # BN running stats identical (sync-BN correctness)
+    ma = np.asarray(s_a.bn_state["first_stem"]["bn"]["mean"])
+    mb = np.asarray(s_b.bn_state["first_stem"]["bn"]["mean"])
+    np.testing.assert_allclose(ma, mb, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_pareto_multi_search_step():
+    from tfnas_tpu.models.supernet import SuperNetwork
+    from tfnas_tpu.parallel.pareto import (init_pareto_state,
+                                           make_pareto_search_steps)
+
+    G = 2
+    net = SuperNetwork(num_classes=8)
+    mesh = make_mesh(8, pareto_groups=G)
+    state = init_pareto_state(net, jax.random.PRNGKey(0), G)
+    mc_mask = ss.build_mc_mask_dddict()
+    masks = net.device_masks(mc_mask)
+
+    # params need stacked update masks? shared masks broadcast via vmap(None)
+    params_single, _ = net.init(jax.random.PRNGKey(1))
+    update_masks = net.update_masks(params_single, mc_mask)
+
+    weight_step, arch_step = make_pareto_search_steps(
+        net, mesh, num_classes=8, targets=[10.0, 20.0])
+
+    rng = np.random.default_rng(0)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    xsh = NamedSharding(mesh, P("pareto", "data"))
+    gsh = NamedSharding(mesh, P("pareto"))
+    x = jax.device_put(jnp.asarray(
+        rng.standard_normal((G, 8, 32, 32, 3), np.float32)), xsh)
+    y = jax.device_put(jnp.asarray(
+        rng.integers(0, 8, (G, 8)).astype(np.int32)), xsh)
+    lr = jax.device_put(jnp.full((G,), 0.025, jnp.float32), gsh)
+    keys = jax.device_put(
+        jnp.stack([jax.random.PRNGKey(5), jax.random.PRNGKey(6)]), gsh)
+
+    state1, m = weight_step(state, masks, update_masks, x, y, lr, keys)
+    assert m["loss"].shape == (G,)
+    assert np.all(np.isfinite(np.asarray(m["loss"])))
+
+    lat_vec = jnp.ones((ss.TOTAL_BLOCKS, ss.NUM_OPS), jnp.float32)
+    T = jax.device_put(jnp.full((G,), 5.0, jnp.float32), gsh)
+    state2, ma = arch_step(state1, masks, x, y, lat_vec, jnp.float32(1.0),
+                           T, keys)
+    assert ma["lat"].shape == (G,)
+    # different targets -> different latency losses
+    assert np.all(np.isfinite(np.asarray(ma["loss_l"])))

@@ -1,5 +1,5 @@
-"""Supernet: masked-width equivalence, sampled/soft forwards, bi-sampling,
-and the jitted search steps."""
+"""Supernet: stacked fused MixedOp equivalence against per-op narrow blocks,
+sampled/soft forwards, bi-sampling, and the jitted search steps."""
 
 import jax
 import jax.numpy as jnp
@@ -7,77 +7,106 @@ import numpy as np
 import pytest
 
 from tfnas_tpu.models import search_space as ss
-from tfnas_tpu.models.supernet import SuperNetwork
+from tfnas_tpu.models.supernet import KMAX, BlockSite, SuperNetwork
 from tfnas_tpu.search.bisample import (sample_gumbel_indices,
                                        sample_random_excluding)
-from tfnas_tpu.search.parser import get_mc_num_dddict
-from tfnas_tpu.search.train_step import (make_search_steps,
+from tfnas_tpu.search.train_step import (adam_init, make_search_steps,
                                          zeros_like_momentum)
 
 
-def slice_op_params(p, mask, has_se):
-    """Full-width op params -> narrow params over the masked-in channels."""
+def narrow_params_from_stacked(p, site, op_idx, mask):
+    """Extract candidate op_idx's true-shape weights from the stacked block
+    params, restricted to masked-in channels."""
     idx = np.nonzero(np.asarray(mask))[0]
+    k = ss.OP_KERNEL[op_idx]
+    off = (KMAX - k) // 2
+    se_c = site.ic * ss.OP_SE_MULT[op_idx]
     out = {
         "inverted_bottleneck": {
             "conv": {"kernel": np.asarray(
-                p["inverted_bottleneck"]["conv"]["kernel"])[:, :, :, idx]},
+                p["expand"]["kernel"])[op_idx][:, :, :, idx]},
             "bn": {},
         },
         "depth_conv": {
-            "conv": {"kernel": np.asarray(
-                p["depth_conv"]["conv"]["kernel"])[:, :, :, idx]},
+            "conv": {"kernel": np.asarray(p["depth"]["kernel"])[op_idx][
+                off:off + k, off:off + k, :, :][:, :, :, idx]},
             "bn": {},
         },
         "point_linear": {
             "conv": {"kernel": np.asarray(
-                p["point_linear"]["conv"]["kernel"])[:, :, idx, :]},
+                p["project"]["kernel"])[op_idx][:, :, idx, :]},
             "bn": {},
         },
     }
-    if has_se:
-        se = p["squeeze_excite"]
+    if se_c > 0:
+        se = p["se"]
         out["squeeze_excite"] = {
             "conv_reduce": {
-                "kernel": np.asarray(se["conv_reduce"]["kernel"])[idx, :],
-                "bias": np.asarray(se["conv_reduce"]["bias"]),
+                "kernel": np.asarray(se["reduce_kernel"])[op_idx][idx, :se_c],
+                "bias": np.asarray(se["reduce_bias"])[op_idx][:se_c],
             },
             "conv_expand": {
-                "kernel": np.asarray(se["conv_expand"]["kernel"])[:, idx],
-                "bias": np.asarray(se["conv_expand"]["bias"])[idx],
+                "kernel": np.asarray(se["expand_kernel"])[op_idx][:se_c, idx],
+                "bias": np.asarray(se["expand_bias"])[op_idx][idx],
             },
         }
     return out
 
 
-@pytest.mark.parametrize("op_idx", [1, 5])
-def test_masked_block_equals_narrow_block(rng, op_idx):
-    """A max-width block with a channel mask must equal the narrow block
-    built at the masked width with sliced weights — the exactness guarantee
-    behind mask-based elasticity."""
-    ic, oc, stride, act = 40, 40, 1, "swish"
-    mc_max = ic * ss.OP_MAX_EXPAND[op_idx]
-    mc = ic * ss.OP_EXPAND[op_idx]  # 240
-    wide = ss.make_op(op_idx, ic, mc_max, oc, stride, False, act)
-    narrow = ss.make_op(op_idx, ic, mc, oc, stride, False, act)
+@pytest.fixture(scope="module")
+def block_setup():
+    site = BlockSite("stage2", "block2", 4, 40, 40, 1, "swish")
+    net = SuperNetwork(num_classes=10)
+    p = net._init_block(jax.random.PRNGKey(7), site)
+    # current masks: initial live widths (3ic / 6ic), padded to W
+    masks = np.zeros((ss.NUM_OPS, site.width), np.float32)
+    true_masks = []
+    for o in range(ss.NUM_OPS):
+        m = np.zeros(site.ic * ss.OP_MAX_EXPAND[o], np.float32)
+        m[:site.ic * ss.OP_EXPAND[o]] = 1.0
+        true_masks.append(m)
+        masks[o, :m.shape[0]] = m
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 14, 14, site.ic))
+    return net, site, p, jnp.asarray(masks), true_masks, x
 
-    params, _ = wide.init(rng)
-    mask = np.zeros(mc_max, np.float32)
-    # non-contiguous mask to exercise the general case
-    live = np.random.default_rng(0).permutation(mc_max)[:mc]
-    mask[np.sort(live)] = 1.0
 
-    x = jax.random.normal(jax.random.PRNGKey(3), (2, 14, 14, ic))
-    y_wide, _ = wide.apply(params, {"inverted_bottleneck": {}, "depth_conv": {},
-                                    "point_linear": {}}, x, training=True,
-                           channel_mask=jnp.asarray(mask))
+@pytest.mark.parametrize("op_idx", [0, 1, 5, 6])
+def test_sampled_stacked_equals_narrow(block_setup, op_idx):
+    """Gathered stacked-branch forward == reference-layer narrow MBConv with
+    the same weights (the exactness guarantee of padding + masks)."""
+    net, site, p, masks, true_masks, x = block_setup
+    y_stacked = net._block_sampled(site, p, masks, jnp.int32(op_idx), x,
+                                   training=True)
 
-    narrow_params = slice_op_params(params, mask, has_se=op_idx >= 4)
-    y_narrow, _ = narrow.apply(
-        narrow_params, {"inverted_bottleneck": {}, "depth_conv": {},
-                        "point_linear": {}}, x, training=True)
-    np.testing.assert_allclose(np.asarray(y_wide), np.asarray(y_narrow),
+    mc = site.ic * ss.OP_EXPAND[op_idx]
+    narrow = ss.make_op(op_idx, site.ic, mc, site.oc, site.stride, False,
+                        site.act)
+    np_params = narrow_params_from_stacked(p, site, op_idx,
+                                           true_masks[op_idx])
+    y_narrow, _ = narrow.apply(np_params, {}, x, training=True)
+    np.testing.assert_allclose(np.asarray(y_stacked), np.asarray(y_narrow),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_soft_stacked_equals_weighted_sum(block_setup):
+    """Fused all-branch soft block == Σ w_o · narrow_op_o(x)."""
+    net, site, p, masks, true_masks, x = block_setup
+    w = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(11), (8,)))
+    y_fused = net._block_soft(site, p, masks, w, x, training=True)
+
+    y_sum = None
+    for o in range(ss.NUM_OPS):
+        mc = site.ic * ss.OP_EXPAND[o]
+        narrow = ss.make_op(o, site.ic, mc, site.oc, site.stride, False,
+                            site.act)
+        np_params = narrow_params_from_stacked(p, site, o, true_masks[o])
+        y_o, _ = narrow.apply(np_params, {}, x, training=True)
+        y_o = w[o] * y_o
+        y_sum = y_o if y_sum is None else y_sum + y_o
+    # note: each narrow op already adds the residual internally, and the
+    # fused path adds it once after the weighted sum — identical since Σw=1
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_sum),
+                               rtol=2e-3, atol=2e-4)
 
 
 def test_bisampling_never_repeats():
@@ -93,22 +122,23 @@ def test_bisampling_never_repeats():
 
 
 def test_gumbel_sampling_distribution():
-    # strongly peaked alphas -> argmax dominates
     la = jnp.log(jnp.asarray([[0.9] + [0.1 / 7] * 7] * 4))
     idx = np.asarray([sample_gumbel_indices(jax.random.PRNGKey(i), la)
                       for i in range(100)])
     assert (idx == 0).mean() > 0.7
 
 
-class TinyLut:
-    """Synthetic latency vectors for step tests."""
-    @staticmethod
-    def lat_vec():
-        return jnp.ones((ss.TOTAL_BLOCKS, ss.NUM_OPS), jnp.float32)
+@pytest.fixture()
+def small_search_setup(_search_net):
+    net, params, arch_params, mc_mask, masks, update_masks = _search_net
+    # fresh param copies per test: the jitted steps donate their inputs
+    params = jax.tree_util.tree_map(jnp.copy, params)
+    arch_params = jax.tree_util.tree_map(jnp.copy, arch_params)
+    return net, params, arch_params, mc_mask, masks, update_masks
 
 
 @pytest.fixture(scope="module")
-def small_search_setup():
+def _search_net():
     net = SuperNetwork(num_classes=10)
     params, arch_params = net.init(jax.random.PRNGKey(0))
     mc_mask = ss.build_mc_mask_dddict()
@@ -126,11 +156,10 @@ def test_sampled_and_soft_forward_shapes(small_search_setup):
     assert logits.shape == (2, 10)
 
     w = jnp.ones((18, 8)) / 8
-    logits, lat = net.apply_soft(params, arch_params, masks, x, w,
-                                 TinyLut.lat_vec(), training=True)
+    lat_vec = jnp.ones((18, 8), jnp.float32)
+    logits, lat = net.apply_soft(params, arch_params, masks, x, w, lat_vec,
+                                 training=True)
     assert logits.shape == (2, 10)
-    # uniform op weights, per-block lat 1.0, cumulative sink mixing with
-    # uniform betas: stage with depth d contributes mean(1..d)
     expected = sum((d + 1) / 2 for d in [2, 3, 4, 4, 4, 1])
     np.testing.assert_allclose(float(lat), expected, rtol=1e-5)
 
@@ -139,11 +168,14 @@ def test_search_steps_run_and_project(small_search_setup):
     net, params, arch_params, mc_mask, masks, update_masks = small_search_setup
     steps = make_search_steps(net, num_classes=10, target_lat=15.0)
     mom = zeros_like_momentum(params)
-    from tfnas_tpu.search.train_step import adam_init
     opt_a = adam_init(arch_params)
 
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
     y = jnp.asarray([1, 2], jnp.int32)
+    lat_vec = jnp.ones((18, 8), jnp.float32)
+
+    # snapshot before the step: the jitted steps donate their param inputs
+    k0 = np.array(params["stage1"]["block1"]["depth"]["kernel"])
 
     params2, mom2, m = steps.weight_step(params, arch_params, mom, masks,
                                          update_masks, x, y,
@@ -152,22 +184,22 @@ def test_search_steps_run_and_project(small_search_setup):
     assert np.isfinite(float(m["loss"]))
 
     arch2, opt_a2, ma = steps.arch_step(params2, arch_params, opt_a, masks,
-                                        x, y, TinyLut.lat_vec(),
+                                        x, y, lat_vec,
                                         jnp.float32(2.0), jnp.float32(5.0),
                                         jax.random.PRNGKey(4))
     assert np.isfinite(float(ma["loss_a"]))
-    # projection: exp(log_alphas) rows sum to 1; betas rows too
     np.testing.assert_allclose(
         np.exp(np.asarray(arch2["log_alphas"])).sum(-1), 1.0, atol=1e-3)
     for s in ss.STAGE_NAMES:
         np.testing.assert_allclose(
             np.exp(np.asarray(arch2["betas"][s])).sum(-1), 1.0, atol=1e-3)
 
-    # masked-out channels stayed exactly frozen through the weight step
-    k0 = np.asarray(params["stage1"]["block1"]["op0"]["depth_conv"]["conv"]["kernel"])
-    k2 = np.asarray(params2["stage1"]["block1"]["op0"]["depth_conv"]["conv"]["kernel"])
-    dead = np.asarray(mc_mask["stage1"]["block1"][0]) == 0.0
-    np.testing.assert_array_equal(k0[..., dead], k2[..., dead])
+    # masked-out and padded entries stayed exactly frozen
+    k2 = np.asarray(params2["stage1"]["block1"]["depth"]["kernel"])
+    dead = np.asarray(masks["stage1"]["block1"])[0] == 0.0  # op0 mask [W]
+    np.testing.assert_array_equal(k0[0][..., dead], k2[0][..., dead])
+    # k3 op zero tap ring frozen at zero
+    assert np.all(k2[0][0, :, 0, :] == 0.0)
 
 
 def test_validation_step(small_search_setup):

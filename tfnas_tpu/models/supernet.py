@@ -1,47 +1,59 @@
-"""The TF-NAS supernet, TPU-native.
+"""The TF-NAS supernet, TPU-native, with fused stacked MixedOps.
 
 Reference: MixedOP / MixedStage / Network (models/model_search.py:32-365).
-Redesigned for XLA's compile-once model:
+Redesigned for XLA's compile-once model and the MXU:
 
-- **Fixed shapes forever.** Every candidate op holds parameters at its MAX
-  mid-channel width (4*ic for e3 ops, 8*ic for e6 ops); the current width is
-  a 0/1 channel mask passed in as data. The reference instead rebuilds the
-  network at new tensor shapes every epoch and shuttles weights through an
-  `exec()`/`index_select` checkpoint dance (train_search.py:156-194,234-259).
-  Masked channels produce exactly-zero activations and exactly-zero
-  gradients, so the masked fixed-shape supernet is numerically identical to
-  the reference's narrow rebuilt one (masking BN batch stats per channel is
-  exact), while the whole 90-epoch search runs one compiled step function.
+**Fused MixedOp.** The reference evaluates the 8 candidate MBConv branches
+as 8 separate module calls (model_search.py:89, the hot loop). Here every
+block stores its candidates STACKED along a leading op axis, normalized to
+one canonical shape:
 
-- **Functional sampling.** Op choices are sampled OUTSIDE the model with
-  `jax.random` (see search/bisample.py) and enter the jitted forward as an
-  int32 index vector; each block dispatches with `lax.switch` over its 8
-  candidate branches, so the hard-sampled path executes one branch per block
-  (the reference's Python switch bookkeeping, model_search.py:49-85).
+- k3 depthwise kernels are zero-padded to 5x5 (mathematically identical:
+  symmetric padding k//2 keeps output geometry and the zero ring contributes
+  nothing),
+- e3 candidate widths are zero-padded to the e6 max width W = 8*ic (channel
+  masks keep dead columns at exactly zero, so padded channels produce zero
+  activations and zero gradients),
+- SE is a per-op flag: non-SE candidates carry zero SE weights and a gate
+  pinned to 1.
 
-- **Soft path** computes all 8 branches weighted by Gumbel-softmax weights
-  and contracts per-op LUT latencies ([18, 8] dense array) with the same
-  weights — the differentiable latency term (model_search.py:86-111).
+With that, the soft (arch-step) path computes ALL 8 branches with three
+fused convolutions per block:
+  expand:   1x1 conv  ic -> 8W        (one big MXU matmul)
+  depth:    5x5 depthwise over 8W     (one VPU/BW-bound op)
+  project:  1x1 grouped conv (8 groups) 8W -> 8*oc
+Branch channels stay disjoint end-to-end, so per-branch BatchNorm is exactly
+per-channel BN over the concatenated axis — bit-identical to 8 separate
+branch BNs (search BN is batch-stat-only, affine=False, model_search.py:225).
+The Gumbel weighting and the cross-branch sum happen AFTER the per-branch
+project BN, exactly like the reference (Σ w_o · BN(proj_o(...)),
+model_search.py:89), and the residual is added once since Σ w_o = 1.
 
-- **Sink-connecting depth gates** (model_search.py:157-206): each stage
-  collects every block output and mixes with softmax(betas); in both hard
-  and soft modes, exactly like the reference.
+The hard (sampled) path gathers one candidate's weights from the stacked
+arrays by index (`jnp.take` on the op axis) and runs a single branch — no
+`lax.switch`, no per-op code duplication, ~8x smaller HLO.
 
-Search-time BN is affine=False / batch-stats-only (model_search.py:225,
-layers.py:101-103), so the supernet carries NO running state at all.
+Width elasticity stays channel masks over the fixed max-width parameters
+(see update_masks), replacing the reference's per-epoch rebuild +
+`exec()`/`index_select` checkpoint shuttle (train_search.py:156-194).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from collections import OrderedDict
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.activations import apply_act
+from ..ops.batchnorm import batch_norm
+from ..ops.conv import DIMSPEC, init_conv_kernel, torch_uniform_init
 from ..ops.layers import ConvLayer, LinearLayer, MBInvertedResBlock
 from . import search_space as ss
+
+KMAX = 5  # canonical depthwise tap size (k3 kernels zero-padded)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,11 +67,19 @@ class BlockSite:
     stride: int
     act: str
 
-    def candidate(self, op_idx):
-        """The op at MAX width for this site."""
-        mc_max = self.ic * ss.OP_MAX_EXPAND[op_idx]
-        return ss.make_op(op_idx, self.ic, mc_max, self.oc, self.stride,
-                          False, self.act)
+    @property
+    def width(self):
+        """Canonical stacked branch width W = 8*ic (max e6 width)."""
+        return self.ic * max(ss.OP_MAX_EXPAND)
+
+    @property
+    def se_width(self):
+        """Canonical SE width = 2*ic (max of se multipliers)."""
+        return self.ic * max(ss.OP_SE_MULT)
+
+    @property
+    def has_residual(self):
+        return self.ic == self.oc and self.stride == 1
 
 
 def block_sites():
@@ -74,46 +94,95 @@ def block_sites():
     return sites
 
 
+def _pad_to(arr, shape):
+    pads = [(0, t - s) for s, t in zip(arr.shape, shape)]
+    return jnp.pad(arr, pads)
+
+
+def _dw_tap_mask(op_idx):
+    """[KMAX, KMAX] mask of live taps for this op's kernel size."""
+    k = ss.OP_KERNEL[op_idx]
+    m = np.zeros((KMAX, KMAX), np.float32)
+    off = (KMAX - k) // 2
+    m[off:off + k, off:off + k] = 1.0
+    return m
+
+
 class SuperNetwork:
     """Supernet over the TF-NAS space (model_search.py:213-365)."""
 
-    def __init__(self, num_classes):
+    def __init__(self, num_classes, remat_blocks=True):
         self.num_classes = num_classes
+        self.remat_blocks = remat_blocks
         self.first_stem = ConvLayer(affine=False, **ss.STEM_CONV)
         self.second_stem = MBInvertedResBlock(affine=False, **ss.SECOND_STEM)
         self.sites = block_sites()
-        # candidate layer objects per site per op (static descriptors)
-        self.candidates = [
-            [site.candidate(o) for o in range(ss.NUM_OPS)]
-            for site in self.sites
-        ]
         self.feature_mix_layer = ConvLayer(affine=False, **ss.HEAD_CONV)
         self.classifier = LinearLayer(ss.HEAD_FEATURES, num_classes)
+        # static per-op constants
+        self.se_on = np.asarray([m > 0 for m in ss.OP_SE_MULT], np.bool_)
 
     # -- init --------------------------------------------------------------
 
-    def init(self, key):
-        """Returns (params, arch_params).
+    def _init_block(self, key, site):
+        """Init the 8 candidates at their TRUE shapes (matching the per-op
+        torch init fan-ins), then pad+stack to canonical shape."""
+        W, SE = site.width, site.se_width
+        ic, oc = site.ic, site.oc
+        expand, depth, red_k, red_b, exp_k, exp_b, proj = \
+            [], [], [], [], [], [], []
+        for o in range(ss.NUM_OPS):
+            ko = jax.random.fold_in(key, o)
+            k = ss.OP_KERNEL[o]
+            w_o = ic * ss.OP_MAX_EXPAND[o]
+            se_o = ic * ss.OP_SE_MULT[o]
+            ks = jax.random.split(ko, 6)
+            expand.append(_pad_to(init_conv_kernel(ks[0], 1, 1, ic, w_o),
+                                  (1, 1, ic, W)))
+            dk = init_conv_kernel(ks[1], k, k, 1, w_o)
+            off = (KMAX - k) // 2
+            dk = jnp.pad(dk, ((off, off), (off, off), (0, 0), (0, 0)))
+            depth.append(_pad_to(dk, (KMAX, KMAX, 1, W)))
+            if se_o > 0:
+                red_k.append(_pad_to(
+                    torch_uniform_init(ks[2], (w_o, se_o), w_o), (W, SE)))
+                red_b.append(_pad_to(
+                    torch_uniform_init(ks[3], (se_o,), w_o), (SE,)))
+                exp_k.append(_pad_to(
+                    torch_uniform_init(ks[4], (se_o, w_o), se_o), (SE, W)))
+                exp_b.append(_pad_to(
+                    torch_uniform_init(ks[5], (w_o,), se_o), (W,)))
+            else:
+                red_k.append(jnp.zeros((W, SE)))
+                red_b.append(jnp.zeros((SE,)))
+                exp_k.append(jnp.zeros((SE, W)))
+                exp_b.append(jnp.zeros((W,)))
+            pk = init_conv_kernel(jax.random.fold_in(ko, 7), 1, 1, w_o, oc)
+            proj.append(_pad_to(pk, (1, 1, W, oc)))
 
-        params mirrors the reference module tree:
-        {'first_stem', 'second_stem', 'stage{i}': {'block{j}': {'op{k}':
-        op_params}}, 'feature_mix_layer', 'classifier'}.
-        arch_params: {'log_alphas': [18, 8] (log-softmax init, i.e. log(1/8),
-        model_search.py:113-116), 'betas': {stage: zeros[depth]}
-        (model_search.py:208-210)}.
-        """
+        return {
+            "expand": {"kernel": jnp.stack(expand)},     # [8,1,1,ic,W]
+            "depth": {"kernel": jnp.stack(depth)},       # [8,5,5,1,W]
+            "se": {
+                "reduce_kernel": jnp.stack(red_k),       # [8,W,SE]
+                "reduce_bias": jnp.stack(red_b),         # [8,SE]
+                "expand_kernel": jnp.stack(exp_k),       # [8,SE,W]
+                "expand_bias": jnp.stack(exp_b),         # [8,W]
+            },
+            "project": {"kernel": jnp.stack(proj)},      # [8,1,1,W,oc]
+        }
+
+    def init(self, key):
+        """Returns (params, arch_params); arch init per reference
+        (model_search.py:113-116, 208-210)."""
         n = len(self.sites)
         keys = jax.random.split(key, n + 4)
         params = {}
         params["first_stem"], _ = self.first_stem.init(keys[n])
         params["second_stem"], _ = self.second_stem.init(keys[n + 1])
-        for site, cands, k in zip(self.sites, self.candidates, keys[:n]):
-            stage_p = params.setdefault(site.stage, {})
-            opkeys = jax.random.split(k, ss.NUM_OPS)
-            stage_p[site.block] = {
-                f"op{o}": cands[o].init(opkeys[o])[0]
-                for o in range(ss.NUM_OPS)
-            }
+        for site, k in zip(self.sites, keys[:n]):
+            params.setdefault(site.stage, {})[site.block] = \
+                self._init_block(k, site)
         params["feature_mix_layer"], _ = self.feature_mix_layer.init(keys[n + 2])
         params["classifier"], _ = self.classifier.init(keys[n + 3])
 
@@ -125,14 +194,13 @@ class SuperNetwork:
         }
         return params, arch_params
 
-    # -- forward helpers ---------------------------------------------------
+    # -- shared pieces -----------------------------------------------------
 
     def _stem(self, params, x, training):
         x, _ = self.first_stem.apply(params["first_stem"], {}, x,
                                      training=training)
-        x, _ = self.second_stem.apply(params["second_stem"],
-                                      {"depth_conv": {}, "point_linear": {}},
-                                      x, training=training)
+        x, _ = self.second_stem.apply(params["second_stem"], {}, x,
+                                      training=training)
         return x
 
     def _head(self, params, x, training):
@@ -144,50 +212,117 @@ class SuperNetwork:
         return x
 
     @staticmethod
-    def _empty_state(op):
-        st = {"depth_conv": {}, "point_linear": {}}
-        if op.has_expand:
-            st["inverted_bottleneck"] = {}
-        return st
+    def _conv(x, kernel, stride=1, groups=1):
+        return jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), (stride, stride),
+            ((KMAX // 2, KMAX // 2), (KMAX // 2, KMAX // 2))
+            if kernel.shape[0] == KMAX else ((0, 0), (0, 0)),
+            dimension_numbers=DIMSPEC, feature_group_count=groups)
 
-    def _run_block_sampled(self, site, params, masks, x, op_idx, training):
-        """lax.switch over the 8 candidate branches; executes one."""
-        branches = []
-        for o in range(ss.NUM_OPS):
-            op = self.candidates[site.global_idx][o]
-            p = params[site.stage][site.block][f"op{o}"]
-            m = masks[site.stage][site.block][f"op{o}"]
+    # -- soft (all-branches) block ----------------------------------------
 
-            def branch(xx, op=op, p=p, m=m):
-                y, _ = op.apply(p, self._empty_state(op), xx,
-                                training=training, channel_mask=m)
-                return y
+    def _block_soft(self, site, p, pad_mask, w, x, training):
+        """All 8 branches fused; returns Σ_o w_o · op_o(x).
 
-            branches.append(branch)
-        return jax.lax.switch(op_idx, branches, x)
+        pad_mask: [8, W] current width masks (padded). w: [8] Gumbel weights.
+        """
+        n_ops, W = pad_mask.shape
+        flat_mask = pad_mask.reshape(-1)  # [8W]
 
-    def _run_block_soft(self, site, params, masks, x, weights, training):
-        """out = sum_o w_o * op_o(x) (model_search.py:86-91)."""
-        out = None
-        for o in range(ss.NUM_OPS):
-            op = self.candidates[site.global_idx][o]
-            p = params[site.stage][site.block][f"op{o}"]
-            m = masks[site.stage][site.block][f"op{o}"]
-            y, _ = op.apply(p, self._empty_state(op), x, training=training,
-                            channel_mask=m)
-            y = y * weights[o].astype(y.dtype)
-            out = y if out is None else out + y
-        return out
+        # expand: one 1x1 conv ic -> 8W
+        ek = p["expand"]["kernel"]                       # [8,1,1,ic,W]
+        ek = jnp.transpose(ek, (1, 2, 3, 0, 4)).reshape(1, 1, site.ic,
+                                                        n_ops * W)
+        h = self._conv(x, ek)
+        h = h * flat_mask.astype(h.dtype)
+        h, _ = batch_norm(h, {}, {}, affine=False, training=training)
+        h = apply_act(h, site.act)
+
+        # depthwise: 5x5 over 8W channels
+        dk = p["depth"]["kernel"]                        # [8,5,5,1,W]
+        dk = jnp.transpose(dk, (1, 2, 3, 0, 4)).reshape(KMAX, KMAX, 1,
+                                                        n_ops * W)
+        h = self._conv(h, dk, stride=site.stride, groups=n_ops * W)
+        h = h * flat_mask.astype(h.dtype)
+        h, _ = batch_norm(h, {}, {}, affine=False, training=training)
+        h = apply_act(h, site.act)
+
+        # SE: batched per-op matmuls on the pooled vector, gate=1 for non-SE
+        se = p["se"]
+        pooled = jnp.mean(h, axis=(1, 2)).reshape(-1, n_ops, W)  # [N,8,W]
+        z = jnp.einsum("now,ows->nos", pooled,
+                       se["reduce_kernel"].astype(h.dtype))
+        z = z + se["reduce_bias"].astype(h.dtype)
+        z = apply_act(z, site.act)
+        g = jnp.einsum("nos,osw->now", z,
+                       se["expand_kernel"].astype(h.dtype))
+        g = g + se["expand_bias"].astype(h.dtype)
+        gate = jnp.where(jnp.asarray(self.se_on)[None, :, None],
+                         jax.nn.sigmoid(g.astype(jnp.float32)), 1.0)
+        h = h * gate.reshape(h.shape[0], 1, 1, n_ops * W).astype(h.dtype)
+
+        # project: grouped 1x1 conv 8W -> 8*oc (branch channels disjoint)
+        pk = p["project"]["kernel"]                      # [8,1,1,W,oc]
+        pk = jnp.transpose(pk, (1, 2, 3, 0, 4)).reshape(1, 1, W,
+                                                        n_ops * site.oc)
+        y = self._conv(h, pk, groups=n_ops)              # [N,h,w,8*oc]
+        y, _ = batch_norm(y, {}, {}, affine=False, training=training)
+
+        # weighted cross-branch sum AFTER the per-branch project BN
+        y = y.reshape(*y.shape[:3], n_ops, site.oc)
+        y = jnp.einsum("nhwoc,o->nhwc", y, w.astype(y.dtype))
+        if site.has_residual:
+            y = y + x  # Σ w_o (out_o + res) == Σ w_o out_o + res (Σw=1)
+        return y
+
+    # -- hard (sampled) block ---------------------------------------------
+
+    def _block_sampled(self, site, p, pad_mask, op_idx, x, training):
+        """One branch, weights gathered from the stacked arrays by op_idx."""
+        W = site.width
+        mask = jnp.take(pad_mask, op_idx, axis=0)        # [W]
+        ek = jnp.take(p["expand"]["kernel"], op_idx, axis=0)   # [1,1,ic,W]
+        h = self._conv(x, ek)
+        h = h * mask.astype(h.dtype)
+        h, _ = batch_norm(h, {}, {}, affine=False, training=training)
+        h = apply_act(h, site.act)
+
+        dk = jnp.take(p["depth"]["kernel"], op_idx, axis=0)    # [5,5,1,W]
+        h = self._conv(h, dk, stride=site.stride, groups=W)
+        h = h * mask.astype(h.dtype)
+        h, _ = batch_norm(h, {}, {}, affine=False, training=training)
+        h = apply_act(h, site.act)
+
+        se = p["se"]
+        pooled = jnp.mean(h, axis=(1, 2))                # [N,W]
+        rk = jnp.take(se["reduce_kernel"], op_idx, axis=0)
+        rb = jnp.take(se["reduce_bias"], op_idx, axis=0)
+        xk = jnp.take(se["expand_kernel"], op_idx, axis=0)
+        xb = jnp.take(se["expand_bias"], op_idx, axis=0)
+        z = apply_act(jnp.dot(pooled, rk.astype(h.dtype)) + rb.astype(h.dtype),
+                      site.act)
+        g = jnp.dot(z, xk.astype(h.dtype)) + xb.astype(h.dtype)
+        has_se = jnp.take(jnp.asarray(self.se_on), op_idx)
+        gate = jnp.where(has_se, jax.nn.sigmoid(g.astype(jnp.float32)), 1.0)
+        h = h * gate[:, None, None, :].astype(h.dtype)
+
+        pk = jnp.take(p["project"]["kernel"], op_idx, axis=0)  # [1,1,W,oc]
+        y = self._conv(h, pk)
+        y, _ = batch_norm(y, {}, {}, affine=False, training=training)
+        if site.has_residual:
+            y = y + x
+        return y
 
     # -- public forwards ---------------------------------------------------
+
+    def _maybe_remat(self, fn):
+        return jax.checkpoint(fn) if self.remat_blocks else fn
 
     def apply_sampled(self, params, arch_params, masks, x, op_indices, *,
                       training=True):
         """Hard-sampled forward (sampling=True path, model_search.py:58-85 +
-        281-304). `op_indices`: int32 [18]. Returns logits.
-
-        Depth mixing still applies softmax(betas) over the per-stage sink
-        outputs (model_search.py:202-204)."""
+        281-304). op_indices: int32 [18]. Depth mixing applies softmax(betas)
+        over the per-stage sink outputs (model_search.py:202-204)."""
         x = self._stem(params, x, training)
         si = 0
         for stage in ss.STAGE_NAMES:
@@ -196,9 +331,11 @@ class SuperNetwork:
             h = x
             for d in range(depth):
                 site = self.sites[si + d]
-                h = self._run_block_sampled(site, params, masks, h,
-                                            op_indices[site.global_idx],
-                                            training)
+                fn = self._maybe_remat(functools.partial(
+                    self._block_sampled, site, training=training))
+                h = fn(params[site.stage][site.block],
+                       masks[site.stage][site.block],
+                       op_indices[site.global_idx], h)
                 res_list.append(h)
             w = jax.nn.softmax(arch_params["betas"][stage])
             x = sum(w[d].astype(r.dtype) * r for d, r in enumerate(res_list))
@@ -207,13 +344,9 @@ class SuperNetwork:
 
     def apply_soft(self, params, arch_params, masks, x, gumbel_weights,
                    lat_vec, *, training=True):
-        """Soft forward (sampling=False path): all 8 ops weighted by
-        `gumbel_weights` [18, 8], plus the differentiable latency
-        (model_search.py:86-111,157-206,281-304).
-
-        lat_vec: [18, 8] per-op latencies at current widths. Returns
-        (logits, total_latency) with total = lut 'base' excluded — the caller
-        adds the base constant (model_search.py:282)."""
+        """Soft forward: all 8 fused branches weighted by `gumbel_weights`
+        [18, 8] plus differentiable latency (model_search.py:86-111,157-206).
+        lat_vec: [18, 8]. Returns (logits, latency-excluding-base)."""
         x = self._stem(params, x, training)
         total_lat = jnp.zeros((), jnp.float32)
         si = 0
@@ -225,7 +358,10 @@ class SuperNetwork:
             for d in range(depth):
                 site = self.sites[si + d]
                 wv = gumbel_weights[site.global_idx]
-                h = self._run_block_soft(site, params, masks, h, wv, training)
+                fn = self._maybe_remat(functools.partial(
+                    self._block_soft, site, training=training))
+                h = fn(params[site.stage][site.block],
+                       masks[site.stage][site.block], wv, h)
                 cum_lat = cum_lat + jnp.dot(wv, lat_vec[site.global_idx])
                 res_list.append(h)
                 lat_list.append(cum_lat)
@@ -239,46 +375,55 @@ class SuperNetwork:
     # -- masks -------------------------------------------------------------
 
     def device_masks(self, mc_mask_dddict):
-        """Numpy mask registry -> device-array pytree keyed like params."""
+        """Reference-format mask registry (true per-op widths,
+        tools/config.py) -> stacked padded [8, W] device arrays per block."""
         out = {}
         for site in self.sites:
-            stage = out.setdefault(site.stage, {})
-            stage[site.block] = {
-                f"op{o}": jnp.asarray(
-                    mc_mask_dddict[site.stage][site.block][o], jnp.float32)
-                for o in range(ss.NUM_OPS)
-            }
+            W = site.width
+            stacked = np.zeros((ss.NUM_OPS, W), np.float32)
+            for o in range(ss.NUM_OPS):
+                m = np.asarray(mc_mask_dddict[site.stage][site.block][o],
+                               np.float32)
+                stacked[o, :m.shape[0]] = m
+            out.setdefault(site.stage, {})[site.block] = jnp.asarray(stacked)
         return out
 
     def update_masks(self, params, mc_mask_dddict):
         """Pytree shaped like `params` that zeroes optimizer updates to
-        masked-out channels, so inactive rows stay frozen exactly as in the
-        reference's full-width checkpoint (train_search.py:234-259).
+        masked-out and padded entries, so inactive rows stay exactly frozen
+        (reference full-width checkpoint semantics, train_search.py:234-259)
+        and the canonical-shape padding stays exactly zero."""
+        dev = self.device_masks(mc_mask_dddict)
+        site_by = {(s.stage, s.block): s for s in self.sites}
 
-        Pure gradients of masked rows are already zero (masked activations
-        are zero); this additionally blocks weight decay from shrinking
-        inactive rows."""
         def resolve(path, leaf):
             keys = [p.key for p in path if hasattr(p, "key")]
-            if len(keys) >= 3 and keys[0].startswith("stage") and \
-               keys[2].startswith("op"):
-                stage, block, opk = keys[0], keys[1], keys[2]
-                mask = np.asarray(mc_mask_dddict[stage][block][int(opk[2:])],
-                                  np.float32)
-                sub = keys[3:]
-                if sub == ["inverted_bottleneck", "conv", "kernel"]:
-                    return jnp.asarray(mask)[None, None, None, :]
-                if sub == ["depth_conv", "conv", "kernel"]:
-                    return jnp.asarray(mask)[None, None, None, :]
-                if sub == ["squeeze_excite", "conv_reduce", "kernel"]:
-                    return jnp.asarray(mask)[:, None]
-                if sub == ["squeeze_excite", "conv_expand", "kernel"]:
-                    return jnp.asarray(mask)[None, :]
-                if sub == ["squeeze_excite", "conv_expand", "bias"]:
-                    return jnp.asarray(mask)
-                # conv_reduce.bias, point_linear kernel input dim:
-                if sub == ["point_linear", "conv", "kernel"]:
-                    return jnp.asarray(mask)[None, None, :, None]
+            if len(keys) >= 2 and keys[0].startswith("stage"):
+                stage, block = keys[0], keys[1]
+                site = site_by[(stage, block)]
+                cm = dev[stage][block]                       # [8, W]
+                sub = keys[2:]
+                if sub == ["expand", "kernel"]:
+                    return cm[:, None, None, None, :]
+                if sub == ["depth", "kernel"]:
+                    taps = jnp.asarray(np.stack(
+                        [_dw_tap_mask(o) for o in range(ss.NUM_OPS)]))
+                    return (taps[:, :, :, None, None]
+                            * cm[:, None, None, None, :])
+                se_mask = np.zeros((ss.NUM_OPS, site.se_width), np.float32)
+                for o in range(ss.NUM_OPS):
+                    se_mask[o, :site.ic * ss.OP_SE_MULT[o]] = 1.0
+                sm = jnp.asarray(se_mask)
+                if sub == ["se", "reduce_kernel"]:
+                    return cm[:, :, None] * sm[:, None, :]
+                if sub == ["se", "reduce_bias"]:
+                    return sm
+                if sub == ["se", "expand_kernel"]:
+                    return sm[:, :, None] * cm[:, None, :]
+                if sub == ["se", "expand_bias"]:
+                    return cm
+                if sub == ["project", "kernel"]:
+                    return cm[:, None, None, :, None]
             return jnp.ones((), leaf.dtype)
 
         return jax.tree_util.tree_map_with_path(resolve, params)
