@@ -1,0 +1,55 @@
+#!/usr/bin/env bash
+# End-to-end TF-NAS-TPU recipes (the reference example.sh, TPU edition).
+set -e
+
+# 0. Build the TPU latency lookup table.
+#    analytic = instant calibrated roofline; measure = real timings on the
+#    attached chip (slower; stride-sampled + interpolated like the
+#    reference's own fitted tables).
+python make_lat_lut_tpu.py --mode analytic \
+	--output ./latency_pkl/latency_tpu.pkl
+
+# 1. Search on ImageNet-100 (90 epochs, batch 32, bi-sampling + soft arch
+#    steps; same hyperparameters as the reference train_search.py).
+python -u train_search.py \
+	--img_root "Your ImageNet Train Set Path" \
+	--train_list "./dataset/ImageNet-100-effb0_train_cls_ratio0.8.txt" \
+	--val_list "./dataset/ImageNet-100-effb0_val_cls_ratio0.8.txt" \
+	--lookup_path "./latency_pkl/latency_tpu.pkl" \
+	--save "./checkpoints" \
+	--print_freq 100 --workers 4 --epochs 90 --batch_size 32 \
+	--w_lr 0.025 --w_mom 0.9 --w_wd 1e-5 \
+	--a_lr 0.01 --a_wd 5e-4 --grad_clip 5.0 \
+	--T 5.0 --T_decay 0.96 --num_classes 100 \
+	--lambda_lat 0.1 --target_lat 1.0 \
+	--note "TF-NAS-lam0.1-lat1.0-tpu"
+
+# 2. Parse the searched architecture.
+python -u parsing_model.py \
+	--model_path "./checkpoints/search-*/searched_model_90.pkl" \
+	--save_path "./model.config" \
+	--lookup_path "./latency_pkl/latency_tpu.pkl" \
+	--print_lat
+
+# 3. Retrain on ImageNet-1k — data-parallel over every visible TPU chip,
+#    bf16 activations, cross-replica BN (replaces plain/AMP/DDP variants).
+python -u train_eval.py \
+	--train_root "Your ImageNet Train Set Path" \
+	--val_root "Your ImageNet Val Set Path" \
+	--train_list "ImageNet Train List" \
+	--val_list "ImageNet Val List" \
+	--config_path "./model.config" \
+	--save "./checkpoints" \
+	--print_freq 100 --workers 16 --epochs 250 --batch_size 512 \
+	--lr 0.2 --momentum 0.9 --weight_decay 1e-5 --grad_clip 5.0 \
+	--label_smooth 0.1 --num_classes 1000 \
+	--dropout_rate 0.2 --drop_connect_rate 0.2 \
+	--note "TF-NAS-lat1.0-tpu"
+
+# 4. Test.
+python -u test.py \
+	--val_root "Your ImageNet Val Set Path" \
+	--val_list "ImageNet Val List" \
+	--config_path "./model.config" \
+	--weights "./checkpoints/eval-*/model_best.pkl" \
+	--batch_size 512

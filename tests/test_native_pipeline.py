@@ -1,0 +1,82 @@
+"""Native C++ data pipeline: decode correctness and augment parity against
+the numpy/PIL reference implementations."""
+
+import io
+
+import numpy as np
+import pytest
+
+from tfnas_tpu.data.transforms import (IMAGENET_MEAN, IMAGENET_STD,
+                                       adjust_hue, apply_jitter, normalize,
+                                       resize_center_crop)
+from tfnas_tpu.runtime import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native pipeline unavailable")
+
+
+def make_jpeg(w=96, h=64, seed=0, quality=95):
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, (h, w, 3), np.uint8)
+    # smooth it so jpeg artifacts are small
+    arr = np.asarray(Image.fromarray(arr).resize((w, h), Image.BILINEAR))
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_decode_matches_pil():
+    from PIL import Image
+    data = make_jpeg()
+    ours = native.decode_jpeg(data)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert ours.shape == ref.shape
+    # libjpeg IDCT implementations may differ by a few counts
+    assert np.mean(np.abs(ours.astype(int) - ref.astype(int))) < 3.0
+
+
+def test_image_size():
+    data = make_jpeg(w=120, h=80)
+    assert native.image_size(data) == (120, 80)
+
+
+def test_val_augment_parity():
+    from PIL import Image
+    data = make_jpeg(w=300, h=260)
+    img = native.decode_jpeg(data)
+    ours = native.augment_val(img, 256, 224, IMAGENET_MEAN, IMAGENET_STD)
+
+    pil = Image.fromarray(img)
+    ref = resize_center_crop(pil, 256, 224)
+    ref = normalize(np.asarray(ref, np.float32) / 255.0)
+    assert ours.shape == ref.shape == (224, 224, 3)
+    # bilinear implementations differ subtly (PIL uses area-aware filters);
+    # require close agreement in normalized units
+    assert np.mean(np.abs(ours - ref)) < 0.12
+
+
+def test_train_augment_jitter_parity():
+    """Crop+flip+jitter+normalize: native vs numpy reference on the SAME
+    sampled parameters, using a crop that needs no resize (pure parity of
+    the photometric ops)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    box = (0, 0, 64, 64)
+    order, factors = [0, 2, 1, 3], [1.2, 0.8, 1.3, 0.1]
+    ours = native.augment_train_from_array(
+        img, box, 64, flip=1, order=order, factors=factors,
+        mean=IMAGENET_MEAN, std=IMAGENET_STD)
+
+    x = np.asarray(img, np.float32) / 255.0
+    x = x[:, ::-1, :]  # flip
+    x = apply_jitter(x, order, factors)
+    ref = normalize(x).astype(np.float32)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_hue_rotation_roundtrip():
+    rng = np.random.default_rng(5)
+    x = rng.random((8, 8, 3)).astype(np.float32)
+    y = adjust_hue(adjust_hue(x, 0.25), -0.25)
+    np.testing.assert_allclose(y, x, atol=1e-4)

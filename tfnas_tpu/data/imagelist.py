@@ -21,7 +21,9 @@ import threading
 
 import numpy as np
 
-from .transforms import train_transform, val_transform
+from ..runtime import native
+from .transforms import (IMAGENET_MEAN, IMAGENET_STD, sample_jitter,
+                         sample_rrc_box, train_transform, val_transform)
 
 
 def default_list_reader(list_path):
@@ -48,7 +50,7 @@ class ImageList:
 
     def __init__(self, root, list_path, training, image_size=224,
                  list_reader=default_list_reader, loader=pil_loader,
-                 host_shard=None):
+                 host_shard=None, use_native="auto"):
         self.root = root
         self.img_list = list_reader(list_path)
         if host_shard is not None:
@@ -57,13 +59,38 @@ class ImageList:
         self.training = training
         self.image_size = image_size
         self.loader = loader
+        self.use_native = (native.available() if use_native == "auto"
+                           else bool(use_native))
 
     def __len__(self):
         return len(self.img_list)
 
+    def _get_native(self, path, rng):
+        """C++ decode + fused augment hot path (runtime/src/
+        image_pipeline.cpp). Raises ValueError for non-JPEG inputs."""
+        with open(path, "rb") as f:
+            data = f.read()
+        if self.training:
+            w, h = native.image_size(data)
+            box = sample_rrc_box(w, h, rng)
+            flip = rng.random() < 0.5
+            order, factors = sample_jitter(rng)
+            return native.decode_augment_train(
+                data, box, self.image_size, flip, order, factors,
+                IMAGENET_MEAN, IMAGENET_STD)
+        img = native.decode_jpeg(data)
+        return native.augment_val(img, 256, self.image_size,
+                                  IMAGENET_MEAN, IMAGENET_STD)
+
     def get(self, index, rng):
         img_path, target = self.img_list[index]
-        img = self.loader(os.path.join(self.root, img_path))
+        path = os.path.join(self.root, img_path)
+        if self.use_native:
+            try:
+                return self._get_native(path, rng), target
+            except ValueError:
+                pass  # non-JPEG / corrupt: fall back to PIL below
+        img = self.loader(path)
         if self.training:
             x = train_transform(img, rng, self.image_size)
         else:

@@ -21,12 +21,10 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
-def random_resized_crop(img, rng, size=224, scale=(0.08, 1.0),
-                        ratio=(3 / 4, 4 / 3)):
-    """torchvision.RandomResizedCrop semantics (10 tries then center
-    fallback)."""
-    from PIL import Image
-    w, h = img.size
+def sample_rrc_box(w, h, rng, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """Sample a RandomResizedCrop box (x, y, cw, ch) with torchvision
+    semantics (10 tries then aspect-clamped center fallback). Shared by the
+    PIL path and the native C++ path so distributions are identical."""
     area = w * h
     for _ in range(10):
         target_area = rng.uniform(*scale) * area
@@ -35,11 +33,9 @@ def random_resized_crop(img, rng, size=224, scale=(0.08, 1.0),
         cw = int(round(math.sqrt(target_area * aspect)))
         ch = int(round(math.sqrt(target_area / aspect)))
         if 0 < cw <= w and 0 < ch <= h:
-            x0 = rng.integers(0, w - cw + 1)
-            y0 = rng.integers(0, h - ch + 1)
-            img = img.crop((x0, y0, x0 + cw, y0 + ch))
-            return img.resize((size, size), Image.BILINEAR)
-    # fallback: center crop
+            x0 = int(rng.integers(0, w - cw + 1))
+            y0 = int(rng.integers(0, h - ch + 1))
+            return x0, y0, cw, ch
     in_ratio = w / h
     if in_ratio < ratio[0]:
         cw, ch = w, int(round(w / ratio[0]))
@@ -47,7 +43,38 @@ def random_resized_crop(img, rng, size=224, scale=(0.08, 1.0),
         cw, ch = int(round(h * ratio[1])), h
     else:
         cw, ch = w, h
-    x0, y0 = (w - cw) // 2, (h - ch) // 2
+    return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+
+def sample_jitter(rng, brightness=0.4, contrast=0.4, saturation=0.4,
+                  hue=0.2):
+    """Sample ColorJitter order + factors. Returns (order, factors) where
+    order is a permuted list of op ids (0=brightness 1=contrast 2=saturation
+    3=hue) and factors is indexed by op id."""
+    factors = [1.0, 1.0, 1.0, 0.0]
+    ops = []
+    if brightness > 0:
+        factors[0] = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(0)
+    if contrast > 0:
+        factors[1] = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        ops.append(1)
+    if saturation > 0:
+        factors[2] = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+        ops.append(2)
+    if hue > 0:
+        factors[3] = rng.uniform(-hue, hue)
+        ops.append(3)
+    order = [ops[j] for j in rng.permutation(len(ops))]
+    return order, factors
+
+
+def random_resized_crop(img, rng, size=224, scale=(0.08, 1.0),
+                        ratio=(3 / 4, 4 / 3)):
+    """torchvision.RandomResizedCrop semantics (PIL path)."""
+    from PIL import Image
+    w, h = img.size
+    x0, y0, cw, ch = sample_rrc_box(w, h, rng, scale, ratio)
     return img.crop((x0, y0, x0 + cw, y0 + ch)).resize((size, size),
                                                        Image.BILINEAR)
 
@@ -109,26 +136,22 @@ def adjust_hue(x, factor):
     return np.stack([r, g, b], axis=-1)
 
 
+_JITTER_FNS = [adjust_brightness, adjust_contrast, adjust_saturation,
+               adjust_hue]
+
+
+def apply_jitter(x, order, factors):
+    """Apply sampled jitter ops in order. x: float [0,1] HWC."""
+    for op in order:
+        x = _JITTER_FNS[op](x, factors[op])
+    return np.clip(x, 0.0, 1.0)
+
+
 def color_jitter(x, rng, brightness=0.4, contrast=0.4, saturation=0.4,
                  hue=0.2):
     """Random-order jitter as torchvision.ColorJitter. x: float [0,1] HWC."""
-    ops = []
-    if brightness > 0:
-        f = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
-        ops.append(lambda a: adjust_brightness(a, f))
-    if contrast > 0:
-        f = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
-        ops.append(lambda a: adjust_contrast(a, f))
-    if saturation > 0:
-        f = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
-        ops.append(lambda a: adjust_saturation(a, f))
-    if hue > 0:
-        f = rng.uniform(-hue, hue)
-        ops.append(lambda a: adjust_hue(a, f))
-    order = rng.permutation(len(ops))
-    for j in order:
-        x = ops[j](x)
-    return np.clip(x, 0.0, 1.0)
+    order, factors = sample_jitter(rng, brightness, contrast, saturation, hue)
+    return apply_jitter(x, order, factors)
 
 
 def normalize(x):

@@ -1,0 +1,171 @@
+"""ctypes bindings for the native C++ image pipeline (libtfnas_data.so).
+
+Lazy-builds the shared library with g++ on first use (cached next to the
+source); falls back gracefully when no compiler/libjpeg is present — callers
+check `available()` and use the PIL/numpy path otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "image_pipeline.cpp")
+_LIB = os.path.join(_HERE, "libtfnas_data.so")
+
+_lock = threading.Lock()
+_lib = None
+_failed = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB,
+           _SRC, "-ljpeg"]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _failed
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            i32p = ctypes.POINTER(ctypes.c_int)
+            lib.tfnas_decode_jpeg.restype = ctypes.c_int
+            lib.tfnas_decode_jpeg.argtypes = [
+                u8p, ctypes.c_size_t, ctypes.POINTER(u8p), i32p, i32p]
+            lib.tfnas_free.argtypes = [ctypes.c_void_p]
+            lib.tfnas_image_size.restype = ctypes.c_int
+            lib.tfnas_image_size.argtypes = [u8p, ctypes.c_size_t, i32p, i32p]
+            lib.tfnas_augment_val.restype = ctypes.c_int
+            lib.tfnas_augment_val.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                f32p, f32p, f32p]
+            lib.tfnas_decode_augment_train.restype = ctypes.c_int
+            lib.tfnas_decode_augment_train.argtypes = [
+                u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                i32p, f32p, f32p, f32p, f32p]
+            lib.tfnas_augment_train.restype = ctypes.c_int
+            lib.tfnas_augment_train.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                i32p, f32p, f32p, f32p, f32p]
+            _lib = lib
+        except Exception:
+            _failed = True
+            _lib = None
+    return _lib
+
+
+def available():
+    return _load() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def image_size(data: bytes):
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    rc = lib.tfnas_image_size(_ptr(buf, ctypes.c_uint8), len(data),
+                              ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise ValueError(f"jpeg header parse failed (rc={rc})")
+    return w.value, h.value
+
+
+def decode_jpeg(data: bytes):
+    """JPEG bytes -> uint8 RGB HWC array."""
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    rc = lib.tfnas_decode_jpeg(_ptr(buf, ctypes.c_uint8), len(data),
+                               ctypes.byref(out), ctypes.byref(w),
+                               ctypes.byref(h))
+    if rc != 0:
+        raise ValueError(f"jpeg decode failed (rc={rc})")
+    try:
+        n = w.value * h.value * 3
+        arr = np.ctypeslib.as_array(out, shape=(n,)).reshape(
+            h.value, w.value, 3).copy()
+    finally:
+        lib.tfnas_free(out)
+    return arr
+
+
+def decode_augment_train(data: bytes, crop_box, out_size, flip, order,
+                         factors, mean, std):
+    """One-call decode + fused train augment. crop_box=(x, y, w, h)."""
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((out_size, out_size, 3), np.float32)
+    order = np.asarray(list(order) + [-1] * (4 - len(order)), np.int32)
+    factors = np.asarray(factors, np.float32)
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    cx, cy, cw, ch = crop_box
+    rc = lib.tfnas_decode_augment_train(
+        _ptr(buf, ctypes.c_uint8), len(data), cx, cy, cw, ch, out_size,
+        int(flip), _ptr(order, ctypes.c_int), _ptr(factors, ctypes.c_float),
+        _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
+        _ptr(out, ctypes.c_float))
+    if rc != 0:
+        raise ValueError(f"native augment failed (rc={rc})")
+    return out
+
+
+def augment_train_from_array(img, crop_box, out_size, flip, order, factors,
+                             mean, std):
+    """Fused train augment on an already-decoded uint8 HWC image."""
+    lib = _load()
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    out = np.empty((out_size, out_size, 3), np.float32)
+    order = np.asarray(list(order) + [-1] * (4 - len(order)), np.int32)
+    factors = np.asarray(factors, np.float32)
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    cx, cy, cw, ch = crop_box
+    rc = lib.tfnas_augment_train(
+        _ptr(img, ctypes.c_uint8), w, h, cx, cy, cw, ch, out_size, int(flip),
+        _ptr(order, ctypes.c_int), _ptr(factors, ctypes.c_float),
+        _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
+        _ptr(out, ctypes.c_float))
+    if rc != 0:
+        raise ValueError(f"native augment failed (rc={rc})")
+    return out
+
+
+def augment_val(img, resize, crop, mean, std):
+    """Fused val transform (resize shortest side + center crop + normalize)
+    on a decoded uint8 HWC image."""
+    lib = _load()
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    out = np.empty((crop, crop, 3), np.float32)
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    rc = lib.tfnas_augment_val(
+        _ptr(img, ctypes.c_uint8), w, h, resize, crop,
+        _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
+        _ptr(out, ctypes.c_float))
+    if rc != 0:
+        raise ValueError(f"native val augment failed (rc={rc})")
+    return out
