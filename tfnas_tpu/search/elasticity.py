@@ -131,14 +131,19 @@ def rewrite_masks_by_l1(parsed_arch, mc_num_dddict, mc_mask_dddict, params):
     for stage in parsed_arch:
         for block in parsed_arch[stage]:
             op_idx = parsed_arch[stage][block]
-            mask = mc_mask_dddict[stage][block][op_idx]
+            mask = np.asarray(mc_mask_dddict[stage][block][op_idx])
             mc_num = mc_num_dddict[stage][block][op_idx]
-            if mc_num != int(round(float(np.asarray(mask).sum()))):
-                kernel = np.asarray(
-                    params[stage][block][f"op{op_idx}"]["depth_conv"]["conv"]["kernel"])
+            if mc_num != int(round(float(mask.sum()))):
+                bp = params[stage][block]
+                if "depth" in bp:  # stacked supernet layout [8, 5, 5, 1, W]
+                    kernel = np.asarray(bp["depth"]["kernel"])[op_idx]
+                    kernel = kernel[..., :mask.shape[0]]  # true op width
+                else:  # per-op layout
+                    kernel = np.asarray(
+                        bp[f"op{op_idx}"]["depth_conv"]["conv"]["kernel"])
                 l1 = np.abs(kernel).sum(axis=(0, 1, 2))
                 order_desc = np.argsort(l1)[::-1][:mc_num]
-                new_mask = np.zeros_like(np.asarray(mask))
+                new_mask = np.zeros_like(mask)
                 new_mask[order_desc] = 1.0
                 mc_mask_dddict[stage][block][op_idx] = new_mask
     return mc_mask_dddict

@@ -23,7 +23,13 @@ import numpy as np
 
 
 def to_numpy_tree(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Pull device arrays to host numpy; leave non-array leaves (strings,
+    ints, config dict values) untouched."""
+    def conv(x):
+        if isinstance(x, (jax.Array, np.ndarray)):
+            return np.asarray(x)
+        return x
+    return jax.tree_util.tree_map(conv, tree)
 
 
 def save_checkpoint_file(obj, path):
