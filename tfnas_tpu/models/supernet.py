@@ -47,8 +47,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..kernels.fused_dw import fold_bn_mask, fused_dw_norm_act
 from ..ops.activations import apply_act
-from ..ops.batchnorm import batch_norm
+from ..ops.batchnorm import BN_EPS, batch_norm
 from ..ops.conv import DIMSPEC, init_conv_kernel, torch_uniform_init
 from ..ops.layers import ConvLayer, LinearLayer, MBInvertedResBlock
 from . import search_space as ss
@@ -111,9 +112,15 @@ def _dw_tap_mask(op_idx):
 class SuperNetwork:
     """Supernet over the TF-NAS space (model_search.py:213-365)."""
 
-    def __init__(self, num_classes, remat_blocks=True):
+    def __init__(self, num_classes, remat_blocks=False, use_pallas=False):
+        # use_pallas: opt-in fused depthwise kernel (kernels/fused_dw.py).
+        # Measured on v5e: XLA's depthwise conv currently wins for most of
+        # this workload's shapes (Mosaic sublane relayouts dominate the
+        # Pallas formulation), so the default stays False; the kernel and
+        # its parity tests remain as the optimization vehicle.
         self.num_classes = num_classes
         self.remat_blocks = remat_blocks
+        self.use_pallas = bool(use_pallas)
         self.first_stem = ConvLayer(affine=False, **ss.STEM_CONV)
         self.second_stem = MBInvertedResBlock(affine=False, **ss.SECOND_STEM)
         self.sites = block_sites()
@@ -219,6 +226,44 @@ class SuperNetwork:
             if kernel.shape[0] == KMAX else ((0, 0), (0, 0)),
             dimension_numbers=DIMSPEC, feature_group_count=groups)
 
+    def _dw_middle(self, h_raw, dwk_flat, mask_flat, act, stride):
+        """mask -> BN -> act -> depthwise -> mask -> BN -> act over the raw
+        expand output, returning the post-activation depthwise features.
+
+        When the Pallas fused kernel is enabled and stride==1, the
+        normalize+act, the 5x5 depthwise and the next BN's statistics run as
+        ONE pass over HBM (kernels/fused_dw.py); otherwise the identical
+        math runs as separate XLA ops. BN is batch-stat-only/affine-free in
+        search (model_search.py:225), so both BNs reduce the live batch."""
+        n1 = h_raw.shape[0] * h_raw.shape[1] * h_raw.shape[2]
+        hm = h_raw.astype(jnp.float32) * mask_flat
+        s1 = jnp.sum(hm, axis=(0, 1, 2))
+        q1 = jnp.sum(hm * hm, axis=(0, 1, 2))
+        mean1 = s1 / n1
+        var1 = q1 / n1 - mean1 * mean1
+        scale1, offset1 = fold_bn_mask(mean1, var1, mask_flat, BN_EPS)
+
+        if self.use_pallas and stride == 1:
+            h2, s2, q2 = fused_dw_norm_act(h_raw, dwk_flat, scale1, offset1,
+                                           1, act)
+        else:
+            x1 = apply_act(
+                (h_raw.astype(jnp.float32) * scale1 + offset1
+                 ).astype(h_raw.dtype), act)
+            h2 = self._conv(x1, dwk_flat[:, :, None, :], stride=stride,
+                            groups=h_raw.shape[-1])
+            h2f = h2.astype(jnp.float32) * mask_flat
+            s2 = jnp.sum(h2f, axis=(0, 1, 2))
+            q2 = jnp.sum(h2f * h2f, axis=(0, 1, 2))
+
+        n2 = h2.shape[0] * h2.shape[1] * h2.shape[2]
+        mean2 = s2 / n2
+        var2 = q2 / n2 - mean2 * mean2
+        scale2, offset2 = fold_bn_mask(mean2, var2, mask_flat, BN_EPS)
+        return apply_act(
+            (h2.astype(jnp.float32) * scale2 + offset2).astype(h2.dtype),
+            act)
+
     # -- soft (all-branches) block ----------------------------------------
 
     def _block_soft(self, site, p, pad_mask, w, x, training):
@@ -234,18 +279,13 @@ class SuperNetwork:
         ek = jnp.transpose(ek, (1, 2, 3, 0, 4)).reshape(1, 1, site.ic,
                                                         n_ops * W)
         h = self._conv(x, ek)
-        h = h * flat_mask.astype(h.dtype)
-        h, _ = batch_norm(h, {}, {}, affine=False, training=training)
-        h = apply_act(h, site.act)
 
-        # depthwise: 5x5 over 8W channels
+        # mask -> BN -> act -> depthwise 5x5 over 8W -> mask -> BN -> act
+        # (Pallas-fused when enabled and stride 1)
         dk = p["depth"]["kernel"]                        # [8,5,5,1,W]
-        dk = jnp.transpose(dk, (1, 2, 3, 0, 4)).reshape(KMAX, KMAX, 1,
+        dk = jnp.transpose(dk, (1, 2, 3, 0, 4)).reshape(KMAX, KMAX,
                                                         n_ops * W)
-        h = self._conv(h, dk, stride=site.stride, groups=n_ops * W)
-        h = h * flat_mask.astype(h.dtype)
-        h, _ = batch_norm(h, {}, {}, affine=False, training=training)
-        h = apply_act(h, site.act)
+        h = self._dw_middle(h, dk, flat_mask, site.act, site.stride)
 
         # SE: batched per-op matmuls on the pooled vector, gate=1 for non-SE
         se = p["se"]
@@ -283,15 +323,9 @@ class SuperNetwork:
         mask = jnp.take(pad_mask, op_idx, axis=0)        # [W]
         ek = jnp.take(p["expand"]["kernel"], op_idx, axis=0)   # [1,1,ic,W]
         h = self._conv(x, ek)
-        h = h * mask.astype(h.dtype)
-        h, _ = batch_norm(h, {}, {}, affine=False, training=training)
-        h = apply_act(h, site.act)
 
-        dk = jnp.take(p["depth"]["kernel"], op_idx, axis=0)    # [5,5,1,W]
-        h = self._conv(h, dk, stride=site.stride, groups=W)
-        h = h * mask.astype(h.dtype)
-        h, _ = batch_norm(h, {}, {}, affine=False, training=training)
-        h = apply_act(h, site.act)
+        dk = jnp.take(p["depth"]["kernel"], op_idx, axis=0)[:, :, 0, :]
+        h = self._dw_middle(h, dk, mask, site.act, site.stride)
 
         se = p["se"]
         pooled = jnp.mean(h, axis=(1, 2))                # [N,W]
