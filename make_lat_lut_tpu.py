@@ -142,7 +142,7 @@ def measure_block_ms(res, cin, se, cout, k, stride, act, mc, batch,
 
 
 def build_measured_lut(batch=32, stride_points=16, warmup=10, iters=50,
-                       log=print):
+                       log=print, max_keys=0):
     """Measure a grid of mc points per key and linearly interpolate to every
     integer (the reference's convert_latency_lookup approach)."""
     import jax
@@ -179,9 +179,13 @@ def build_measured_lut(batch=32, stride_points=16, warmup=10, iters=50,
     lut['base'] = base
     log(f"base = {base:.4f} ms")
 
+    done = 0
     for res, cin, cout, stride, act in _site_list():
         for k in (3, 5):
             for se_mult, e_max in ((0, 8), (1, 4), (2, 8)):
+                if max_keys and done >= max_keys:
+                    return lut
+                done += 1
                 se = se_mult * cin
                 key = (f"MBInvertedResBlock_{res}_{cin}_{se}_{cout}"
                        f"_k{k}_s{stride}_{act}")
@@ -215,13 +219,16 @@ def main():
     parser.add_argument('--iters', type=int, default=50)
     parser.add_argument('--scale', type=float, default=1.0,
                         help='calibration scale for analytic mode')
+    parser.add_argument('--max_keys', type=int, default=0,
+                        help='measure only the first N keys (smoke runs)')
     args = parser.parse_args()
 
     if args.mode == 'analytic':
         lut = build_analytic_lut(args.batch_size, args.scale)
     else:
         lut = build_measured_lut(args.batch_size, args.stride_points,
-                                 args.warmup, args.iters)
+                                 args.warmup, args.iters,
+                                 max_keys=args.max_keys)
 
     import os
     os.makedirs(os.path.dirname(args.output) or '.', exist_ok=True)

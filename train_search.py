@@ -78,6 +78,8 @@ parser.add_argument('--bf16', action='store_true', default=True)
 parser.add_argument('--no_bf16', dest='bf16', action='store_false')
 parser.add_argument('--synthetic', action='store_true',
                     help='use synthetic data instead of ImageNet lists')
+parser.add_argument('--resume', type=str, default='',
+                    help='resume from a searched_model_NN.pkl checkpoint')
 parser.add_argument('--steps_per_epoch', type=int, default=0)
 parser.add_argument('--image_size', type=int, default=224)
 
@@ -96,6 +98,18 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     key, init_key = jax.random.split(key)
     params, arch_params = net.init(init_key)
+
+    start_epoch = 0
+    if args.resume:
+        from tfnas_tpu.utils import load_checkpoint
+        logging.info('resuming from %s', args.resume)
+        ckpt = load_checkpoint(args.resume)
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt['params'])
+        arch_params = jax.tree_util.tree_map(jnp.asarray,
+                                             ckpt['arch_params'])
+        mc_mask_dddict = ckpt['mc_mask_dddict']
+        start_epoch = int(ckpt['epoch'])
+        args.T = float(ckpt['T'])
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(params))
     logging.info("param size = %fMB", n_params / 1e6)
@@ -158,7 +172,7 @@ def main():
 
     T = args.T
     total_start = time.time()
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         mc_num_dddict = get_mc_num_dddict(mc_mask_dddict)
         masks = net.device_masks(mc_mask_dddict)
         update_masks = net.update_masks(params, mc_mask_dddict)
