@@ -209,3 +209,33 @@ def test_validation_step(small_search_setup):
     y = jnp.asarray([0, 1], jnp.int32)
     m = steps.val_step(params, arch_params, masks, x, y, jax.random.PRNGKey(6))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_multi_sampled_equals_separate_sampled(small_search_setup):
+    """apply_multi_sampled (grouped channels) == two apply_sampled calls.
+
+    Run in float64: at toy spatial sizes the deep stages see 1x1 feature
+    maps where batch-stat BN (n=2) amplifies fp32 reduction-order noise into
+    visible logits differences; f64 confirms the math is identical."""
+    net, params, arch_params, mc_mask, masks, _ = small_search_setup
+    with jax.enable_x64():
+        f64 = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float64)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+        params64, arch64, masks64 = f64(params), f64(arch_params), f64(masks)
+        x = jnp.asarray(np.random.default_rng(8).standard_normal(
+            (2, 32, 32, 3)), jnp.float64)
+        idx_g = jnp.asarray(np.arange(18) % 8, jnp.int32)
+        idx_r = jnp.asarray((np.arange(18) + 3) % 8, jnp.int32)
+
+        logits_multi = net.apply_multi_sampled(
+            params64, arch64, masks64, x, jnp.stack([idx_g, idx_r]),
+            training=True)
+        l_g = net.apply_sampled(params64, arch64, masks64, x, idx_g,
+                                training=True)
+        l_r = net.apply_sampled(params64, arch64, masks64, x, idx_r,
+                                training=True)
+        np.testing.assert_allclose(np.asarray(logits_multi[0]),
+                                   np.asarray(l_g), rtol=1e-7, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(logits_multi[1]),
+                                   np.asarray(l_r), rtol=1e-7, atol=1e-7)

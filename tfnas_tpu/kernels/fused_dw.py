@@ -161,7 +161,7 @@ def fold_bn_mask(mean, var, mask=None, eps=1e-5):
     """Fold batch-stat normalization (+ optional width mask) into
     (scale, offset) for the kernel: y = x*scale + offset equals
     mask * (x - mean) * rsqrt(var + eps)."""
-    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    inv = jax.lax.rsqrt(var + eps)
     if mask is not None:
-        inv = inv * mask.astype(jnp.float32)
-    return inv, -mean.astype(jnp.float32) * inv
+        inv = inv * mask.astype(inv.dtype)
+    return inv, -mean.astype(inv.dtype) * inv

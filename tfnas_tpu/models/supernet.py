@@ -49,7 +49,7 @@ import numpy as np
 
 from ..kernels.fused_dw import fold_bn_mask, fused_dw_norm_act
 from ..ops.activations import apply_act
-from ..ops.batchnorm import BN_EPS, batch_norm
+from ..ops.batchnorm import BN_EPS, batch_norm, stat_dtype
 from ..ops.conv import DIMSPEC, init_conv_kernel, torch_uniform_init
 from ..ops.layers import ConvLayer, LinearLayer, MBInvertedResBlock
 from . import search_space as ss
@@ -235,8 +235,9 @@ class SuperNetwork:
         ONE pass over HBM (kernels/fused_dw.py); otherwise the identical
         math runs as separate XLA ops. BN is batch-stat-only/affine-free in
         search (model_search.py:225), so both BNs reduce the live batch."""
+        sd = stat_dtype(h_raw.dtype)
         n1 = h_raw.shape[0] * h_raw.shape[1] * h_raw.shape[2]
-        hm = h_raw.astype(jnp.float32) * mask_flat
+        hm = h_raw.astype(sd) * mask_flat.astype(sd)
         s1 = jnp.sum(hm, axis=(0, 1, 2))
         q1 = jnp.sum(hm * hm, axis=(0, 1, 2))
         mean1 = s1 / n1
@@ -248,11 +249,11 @@ class SuperNetwork:
                                            1, act)
         else:
             x1 = apply_act(
-                (h_raw.astype(jnp.float32) * scale1 + offset1
+                (h_raw.astype(sd) * scale1 + offset1
                  ).astype(h_raw.dtype), act)
             h2 = self._conv(x1, dwk_flat[:, :, None, :], stride=stride,
                             groups=h_raw.shape[-1])
-            h2f = h2.astype(jnp.float32) * mask_flat
+            h2f = h2.astype(sd) * mask_flat.astype(sd)
             s2 = jnp.sum(h2f, axis=(0, 1, 2))
             q2 = jnp.sum(h2f * h2f, axis=(0, 1, 2))
 
@@ -261,7 +262,7 @@ class SuperNetwork:
         var2 = q2 / n2 - mean2 * mean2
         scale2, offset2 = fold_bn_mask(mean2, var2, mask_flat, BN_EPS)
         return apply_act(
-            (h2.astype(jnp.float32) * scale2 + offset2).astype(h2.dtype),
+            (h2.astype(sd) * scale2 + offset2).astype(h2.dtype),
             act)
 
     # -- soft (all-branches) block ----------------------------------------
@@ -298,7 +299,7 @@ class SuperNetwork:
                        se["expand_kernel"].astype(h.dtype))
         g = g + se["expand_bias"].astype(h.dtype)
         gate = jnp.where(jnp.asarray(self.se_on)[None, :, None],
-                         jax.nn.sigmoid(g.astype(jnp.float32)), 1.0)
+                         jax.nn.sigmoid(g.astype(stat_dtype(g.dtype))), 1.0)
         h = h * gate.reshape(h.shape[0], 1, 1, n_ops * W).astype(h.dtype)
 
         # project: grouped 1x1 conv 8W -> 8*oc (branch channels disjoint)
@@ -337,7 +338,8 @@ class SuperNetwork:
                       site.act)
         g = jnp.dot(z, xk.astype(h.dtype)) + xb.astype(h.dtype)
         has_se = jnp.take(jnp.asarray(self.se_on), op_idx)
-        gate = jnp.where(has_se, jax.nn.sigmoid(g.astype(jnp.float32)), 1.0)
+        gate = jnp.where(has_se,
+                         jax.nn.sigmoid(g.astype(stat_dtype(g.dtype))), 1.0)
         h = h * gate[:, None, None, :].astype(h.dtype)
 
         pk = jnp.take(p["project"]["kernel"], op_idx, axis=0)  # [1,1,W,oc]
@@ -346,6 +348,96 @@ class SuperNetwork:
         if site.has_residual:
             y = y + x
         return y
+
+    # -- multi-sample (grouped) block --------------------------------------
+
+    def _block_multi(self, site, p, pad_mask, op_idx_s, x, training):
+        """S sampled sub-networks as S disjoint channel groups in one pass.
+
+        op_idx_s: int32 [S] — candidate index per sample set. x:
+        [N, h, w, S*ic] with group s carrying sample set s. Returns
+        [N, h', w', S*oc]. Identical math to running `_block_sampled` S
+        times (each group's channels are independent end-to-end: grouped
+        convs + per-channel BN), but with S-fold wider convolutions — much
+        better MXU/VPU lane utilization for the bi-sampling weight step's
+        pair of forwards (train_search.py:375-379)."""
+        S = op_idx_s.shape[0]
+        W = site.width
+
+        mask = jnp.take(pad_mask, op_idx_s, axis=0)        # [S, W]
+        flat_mask = mask.reshape(-1)
+
+        ek = jnp.take(p["expand"]["kernel"], op_idx_s, axis=0)  # [S,1,1,ic,W]
+        ek = jnp.transpose(ek, (1, 2, 3, 0, 4)).reshape(1, 1, site.ic, S * W)
+        h = self._conv(x, ek, groups=S)
+
+        dk = jnp.take(p["depth"]["kernel"], op_idx_s, axis=0)   # [S,5,5,1,W]
+        dk = jnp.transpose(dk, (1, 2, 3, 0, 4)).reshape(KMAX, KMAX, S * W)
+        h = self._dw_middle(h, dk, flat_mask, site.act, site.stride)
+
+        se = p["se"]
+        pooled = jnp.mean(h, axis=(1, 2)).reshape(-1, S, W)     # [N,S,W]
+        rk = jnp.take(se["reduce_kernel"], op_idx_s, axis=0)    # [S,W,SE]
+        rb = jnp.take(se["reduce_bias"], op_idx_s, axis=0)
+        xk = jnp.take(se["expand_kernel"], op_idx_s, axis=0)
+        xb = jnp.take(se["expand_bias"], op_idx_s, axis=0)
+        z = jnp.einsum("nsw,swe->nse", pooled, rk.astype(h.dtype))
+        z = apply_act(z + rb.astype(h.dtype), site.act)
+        g = jnp.einsum("nse,sew->nsw", z, xk.astype(h.dtype))
+        g = g + xb.astype(h.dtype)
+        has_se = jnp.take(jnp.asarray(self.se_on), op_idx_s)    # [S]
+        gate = jnp.where(has_se[None, :, None],
+                         jax.nn.sigmoid(g.astype(stat_dtype(g.dtype))), 1.0)
+        h = h * gate.reshape(h.shape[0], 1, 1, S * W).astype(h.dtype)
+
+        pk = jnp.take(p["project"]["kernel"], op_idx_s, axis=0)  # [S,1,1,W,oc]
+        pk = jnp.transpose(pk, (1, 2, 3, 0, 4)).reshape(1, 1, W, S * site.oc)
+        y = self._conv(h, pk, groups=S)
+        y, _ = batch_norm(y, {}, {}, affine=False, training=training)
+        if site.has_residual:
+            y = y + x
+        return y
+
+    def apply_multi_sampled(self, params, arch_params, masks, x,
+                            op_indices, *, training=True):
+        """S hard-sampled forwards fused as channel groups.
+
+        op_indices: int32 [S, 18]. Returns logits [S, N, num_classes].
+        Equivalent to S calls of apply_sampled (tested), used for the
+        bi-sampling weight step (S=2)."""
+        S = op_indices.shape[0]
+        x = self._stem(params, x, training)
+        x = jnp.tile(x, (1, 1, 1, S))  # same stem output feeds every set
+        si = 0
+        for stage in ss.STAGE_NAMES:
+            depth = ss.STAGE_DEPTHS[stage]
+            res_list = []
+            h = x
+            for d in range(depth):
+                site = self.sites[si + d]
+                fn = self._maybe_remat(functools.partial(
+                    self._block_multi, site, training=training))
+                h = fn(params[site.stage][site.block],
+                       masks[site.stage][site.block],
+                       op_indices[:, site.global_idx], h)
+                res_list.append(h)
+            w = jax.nn.softmax(arch_params["betas"][stage])
+            x = sum(w[d].astype(r.dtype) * r for d, r in enumerate(res_list))
+            si += depth
+
+        # head per group: shared weights tiled across S groups
+        fk = params["feature_mix_layer"]["conv"]["kernel"]       # [1,1,320,1280]
+        fk = jnp.concatenate([fk] * S, axis=3)                   # shared weights
+        h = self._conv(x, fk, groups=S)                          # [N,h,w,S*1280]
+        h, _ = batch_norm(h, {}, {}, affine=False, training=training)
+        h = apply_act(h, self.feature_mix_layer.act_func)
+        pooled = jnp.mean(h, axis=(1, 2)).reshape(-1, S, ss.HEAD_FEATURES)
+        logits = jnp.einsum(
+            "nsf,fc->nsc", pooled,
+            params["classifier"]["linear"]["kernel"].astype(pooled.dtype))
+        logits = logits + params["classifier"]["linear"]["bias"].astype(
+            logits.dtype)
+        return jnp.transpose(logits, (1, 0, 2))                  # [S,N,C]
 
     # -- public forwards ---------------------------------------------------
 

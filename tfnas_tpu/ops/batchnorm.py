@@ -25,6 +25,11 @@ BN_EPS = 1e-5
 BN_MOMENTUM = 0.1
 
 
+def stat_dtype(dtype):
+    """fp32 statistics for low-precision activations; preserve float64."""
+    return jnp.float64 if dtype == jnp.float64 else jnp.float32
+
+
 def init_bn(num_features, affine, dtype=jnp.float32):
     """Returns (params, state) pytrees for one BN over `num_features` channels.
 
@@ -61,8 +66,8 @@ def batch_norm(x, params, state, *, affine, training, axis_name=None,
         mean, var = state["mean"], state["var"]
         new_state = state
     else:
-        # Compute in fp32 regardless of activation dtype for stability.
-        xf = x.astype(jnp.float32)
+        # Compute in fp32 (or f64 for f64 activations) for stability.
+        xf = x.astype(stat_dtype(x.dtype))
         mean = jnp.mean(xf, axis=reduce_axes)
         mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
         if axis_name is not None:
@@ -83,11 +88,12 @@ def batch_norm(x, params, state, *, affine, training, axis_name=None,
         else:
             new_state = state
 
-    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    sd = stat_dtype(x.dtype)
+    inv = jax.lax.rsqrt(var.astype(sd) + eps)
     scale = inv
-    offset = -mean.astype(jnp.float32) * inv
+    offset = -mean.astype(sd) * inv
     if affine:
-        scale = scale * params["scale"].astype(jnp.float32)
-        offset = offset * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
-    y = (x.astype(jnp.float32) * scale + offset).astype(x.dtype)
+        scale = scale * params["scale"].astype(sd)
+        offset = offset * params["scale"].astype(sd) + params["bias"].astype(sd)
+    y = (x.astype(sd) * scale + offset).astype(x.dtype)
     return y, new_state
