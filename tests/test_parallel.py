@@ -98,18 +98,19 @@ def test_dp_matches_single_device():
 def test_pareto_multi_search_step():
     from tfnas_tpu.models.supernet import SuperNetwork
     from tfnas_tpu.parallel.pareto import (init_pareto_state,
-                                           make_pareto_search_steps)
+                                           make_pareto_search_steps,
+                                           stack_group_trees)
 
     G = 2
     net = SuperNetwork(num_classes=8)
     mesh = make_mesh(8, pareto_groups=G)
     state = init_pareto_state(net, jax.random.PRNGKey(0), G)
     mc_mask = ss.build_mc_mask_dddict()
-    masks = net.device_masks(mc_mask)
+    masks = stack_group_trees([net.device_masks(mc_mask)] * G)
 
-    # params need stacked update masks? shared masks broadcast via vmap(None)
     params_single, _ = net.init(jax.random.PRNGKey(1))
-    update_masks = net.update_masks(params_single, mc_mask)
+    update_masks = stack_group_trees(
+        [net.update_masks(params_single, mc_mask)] * G)
 
     weight_step, arch_step = make_pareto_search_steps(
         net, mesh, num_classes=8, targets=[10.0, 20.0])
@@ -130,7 +131,7 @@ def test_pareto_multi_search_step():
     assert m["loss"].shape == (G,)
     assert np.all(np.isfinite(np.asarray(m["loss"])))
 
-    lat_vec = jnp.ones((ss.TOTAL_BLOCKS, ss.NUM_OPS), jnp.float32)
+    lat_vec = jnp.ones((G, ss.TOTAL_BLOCKS, ss.NUM_OPS), jnp.float32)
     T = jax.device_put(jnp.full((G,), 5.0, jnp.float32), gsh)
     state2, ma = arch_step(state1, masks, x, y, lat_vec, jnp.float32(1.0),
                            T, keys)

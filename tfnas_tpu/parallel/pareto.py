@@ -56,6 +56,11 @@ def init_pareto_state(net, key, num_groups):
                              opt_a=adam_init(arch))
 
 
+def stack_group_trees(trees):
+    """[tree_g for g in G] -> one tree with leading [G] dim per leaf."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
 def reset_group_optimizers(state):
     """Fresh per-epoch optimizers (train_search.py:196-206)."""
     return state._replace(momentum=zeros_like_momentum(state.params),
@@ -69,9 +74,9 @@ def make_pareto_search_steps(net, mesh, *, num_classes, targets,
     """Returns (weight_step, arch_step) over group-stacked state.
 
     targets: [G] per-group target latencies (ms).
-    masks/update_masks are shared across groups (same search space start);
-    per-group masks can be stacked later if elasticity diverges per group —
-    the driver re-derives them per group each epoch.
+    masks/update_masks/lat_vec are GROUP-STACKED pytrees (leading [G] dim,
+    sharded over 'pareto') because per-group elasticity diverges the width
+    masks after the warmup epochs — stack with `stack_group_trees`.
     """
     targets = jnp.asarray(targets, jnp.float32)
 
@@ -82,11 +87,11 @@ def make_pareto_search_steps(net, mesh, *, num_classes, targets,
         idx_r = sample_random_excluding(kr, idx_g, ss.NUM_OPS)
 
         def loss_fn(p):
-            lg = net.apply_sampled(p, arch_params, masks, x, idx_g,
-                                   training=True)
-            lrnd = net.apply_sampled(p, arch_params, masks, x, idx_r,
-                                     training=True)
-            return cross_entropy(lg, y) + cross_entropy(lrnd, y), lg
+            logits = net.apply_multi_sampled(
+                p, arch_params, masks, x, jnp.stack([idx_g, idx_r]),
+                training=True)
+            return (cross_entropy(logits[0], y)
+                    + cross_entropy(logits[1], y)), logits[0]
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = jax.lax.pmean(grads, DATA_AXIS)
@@ -131,31 +136,32 @@ def make_pareto_search_steps(net, mesh, *, num_classes, targets,
 
     def _w_body(params, arch, mom, masks, umasks, x, y, lr, keys):
         f = jax.vmap(_group_weight_step,
-                     in_axes=(0, 0, 0, None, None, 0, 0, 0, 0))
+                     in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))
         return f(params, arch, mom, masks, umasks, x, y, lr, keys)
 
     def _a_body(params, arch, opt_a, masks, x, y, lat_vec, base_lat, T,
                 tgt, keys):
         f = jax.vmap(_group_arch_step,
-                     in_axes=(0, 0, 0, None, 0, 0, None, None, 0, 0, 0))
+                     in_axes=(0, 0, 0, 0, 0, 0, 0, None, 0, 0, 0))
         return f(params, arch, opt_a, masks, x, y, lat_vec, base_lat, T,
                  tgt, keys)
 
     w_sm = shard_map(_w_body, mesh=mesh,
-                     in_specs=(gspec, gspec, gspec, rspec, rspec, bspec,
+                     in_specs=(gspec, gspec, gspec, gspec, gspec, bspec,
                                bspec, gspec, gspec),
                      out_specs=(gspec, gspec, gspec),
                      check_vma=False)
     a_sm = shard_map(_a_body, mesh=mesh,
-                     in_specs=(gspec, gspec, gspec, rspec, bspec, bspec,
-                               rspec, rspec, gspec, gspec, gspec),
+                     in_specs=(gspec, gspec, gspec, gspec, bspec, bspec,
+                               gspec, rspec, gspec, gspec, gspec),
                      out_specs=(gspec, gspec, gspec),
                      check_vma=False)
 
     @jax.jit
     def weight_step(state: ParetoSearchState, masks, update_masks, x, y,
                     lr, keys):
-        """lr: [G]; keys: [G, 2] uint32; x: [G, B, H, W, C]; y: [G, B]."""
+        """masks/update_masks: group-stacked [G, ...]; lr: [G]; keys:
+        [G, 2] uint32; x: [G, B, H, W, C]; y: [G, B]."""
         params, mom, metrics = w_sm(state.params, state.arch_params,
                                     state.momentum, masks, update_masks,
                                     x, y, lr, keys)
@@ -164,7 +170,7 @@ def make_pareto_search_steps(net, mesh, *, num_classes, targets,
     @jax.jit
     def arch_step(state: ParetoSearchState, masks, x, y, lat_vec, base_lat,
                   temperature, keys):
-        """temperature: [G]; lat_vec: [18, 8] shared; keys: [G, 2]."""
+        """temperature: [G]; lat_vec: [G, 18, 8] per group; keys: [G, 2]."""
         arch, opt_a, metrics = a_sm(state.params, state.arch_params,
                                     state.opt_a, masks, x, y, lat_vec,
                                     base_lat, temperature, targets, keys)
