@@ -87,11 +87,11 @@ def make_pareto_search_steps(net, mesh, *, num_classes, targets,
         idx_r = sample_random_excluding(kr, idx_g, ss.NUM_OPS)
 
         def loss_fn(p):
-            logits = net.apply_multi_sampled(
-                p, arch_params, masks, x, jnp.stack([idx_g, idx_r]),
-                training=True)
-            return (cross_entropy(logits[0], y)
-                    + cross_entropy(logits[1], y)), logits[0]
+            lg = net.apply_sampled(p, arch_params, masks, x, idx_g,
+                                   training=True)
+            lrnd = net.apply_sampled(p, arch_params, masks, x, idx_r,
+                                     training=True)
+            return cross_entropy(lg, y) + cross_entropy(lrnd, y), lg
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = jax.lax.pmean(grads, DATA_AXIS)

@@ -104,12 +104,16 @@ def make_search_steps(net, *, num_classes, w_mom=0.9, w_wd=1e-5,
     """Build the jitted step functions for SuperNetwork `net`."""
 
     def _weight_loss_bisample(params, arch_params, masks, x, y, idx_g, idx_r):
-        # both sampled forwards fused as 2 channel groups of one pass
-        logits = net.apply_multi_sampled(
-            params, arch_params, masks, x, jnp.stack([idx_g, idx_r]),
-            training=True)
-        loss = cross_entropy(logits[0], y) + cross_entropy(logits[1], y)
-        return loss, logits[0]
+        # NOTE: the grouped single-pass variant (net.apply_multi_sampled)
+        # measured ~13% SLOWER on v5e than two sequential sampled passes
+        # (XLA lowers 2-group convs worse than two dense convs at these
+        # widths), so the two-pass form stays the default.
+        logits_g = net.apply_sampled(params, arch_params, masks, x, idx_g,
+                                     training=True)
+        logits_r = net.apply_sampled(params, arch_params, masks, x, idx_r,
+                                     training=True)
+        loss = cross_entropy(logits_g, y) + cross_entropy(logits_r, y)
+        return loss, logits_g
 
     def _weight_loss_single(params, arch_params, masks, x, y, idx_g):
         logits_g = net.apply_sampled(params, arch_params, masks, x, idx_g,

@@ -80,6 +80,9 @@ parser.add_argument('--synthetic', action='store_true',
                     help='use synthetic data instead of ImageNet lists')
 parser.add_argument('--resume', type=str, default='',
                     help='resume from a searched_model_NN.pkl checkpoint')
+parser.add_argument('--profile_steps', type=int, default=0,
+                    help='capture a jax.profiler trace of the first N steps '
+                         'of epoch 0 into <run_dir>/profile')
 parser.add_argument('--steps_per_epoch', type=int, default=0)
 parser.add_argument('--image_size', type=int, default=224)
 
@@ -200,7 +203,15 @@ def main():
         arch_batches = iter(val_iter(epoch)) if epoch >= args.warmup_epochs \
             else None
         nsteps = 0
+        profiling = (args.profile_steps > 0 and epoch == start_epoch)
+        if profiling:
+            jax.profiler.start_trace(f"{run_dir}/profile")
         for step, (x, y) in enumerate(train_iter(epoch)):
+            if profiling and step == args.profile_steps:
+                jax.block_until_ready(m["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                logging.info('profiler trace written to %s/profile', run_dir)
             x = jnp.asarray(x, compute_dtype)
             y = jnp.asarray(y)
             key, k1 = jax.random.split(key)
@@ -235,6 +246,10 @@ def main():
                     meters["top5"].avg, meters["loss_a"].avg,
                     meters["loss_l"].avg)
 
+        if profiling:
+            jax.block_until_ready(m["loss"])
+            jax.profiler.stop_trace()
+            logging.info('profiler trace written to %s/profile', run_dir)
         flush()
         if epoch >= args.warmup_epochs:
             T *= args.T_decay
