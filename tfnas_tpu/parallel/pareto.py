@@ -53,7 +53,7 @@ def init_pareto_state(net, key, num_groups):
     params, arch = jax.vmap(one)(keys)
     return ParetoSearchState(params=params, arch_params=arch,
                              momentum=zeros_like_momentum(params),
-                             opt_a=adam_init(arch))
+                             opt_a=jax.vmap(adam_init)(arch))
 
 
 def stack_group_trees(trees):
@@ -63,8 +63,9 @@ def stack_group_trees(trees):
 
 def reset_group_optimizers(state):
     """Fresh per-epoch optimizers (train_search.py:196-206)."""
-    return state._replace(momentum=zeros_like_momentum(state.params),
-                          opt_a=adam_init(state.arch_params))
+    return state._replace(
+        momentum=zeros_like_momentum(state.params),
+        opt_a=jax.vmap(adam_init)(state.arch_params))
 
 
 def make_pareto_search_steps(net, mesh, *, num_classes, targets,
