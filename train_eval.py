@@ -16,7 +16,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tfnas_tpu.data import DataLoader, ImageList, synthetic_loader
 from tfnas_tpu.models.eval_net import EvalNetwork

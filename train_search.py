@@ -16,8 +16,6 @@ Extra flags beyond the reference:
 
 import argparse
 import logging
-import pickle
-import sys
 import time
 
 import jax

@@ -15,7 +15,6 @@ Example (8 devices, 4 targets, 2-way data parallel per group):
 """
 
 import argparse
-import json
 import logging
 import time
 
@@ -158,7 +157,6 @@ def main():
         lr = jax.device_put(jnp.full((G,), lr_list[epoch], jnp.float32), gsh)
 
         meters = []
-        arch_it = None
         for step, (xs, ys) in enumerate(batches(epoch, epoch * 1000)):
             x = jax.device_put(jnp.asarray(xs, compute_dtype), xsh)
             y = jax.device_put(jnp.asarray(ys, jnp.int32), xsh)
