@@ -138,3 +138,33 @@ def test_pareto_multi_search_step():
     assert ma["lat"].shape == (G,)
     # different targets -> different latency losses
     assert np.all(np.isfinite(np.asarray(ma["loss_l"])))
+
+
+@pytest.mark.slow
+def test_search_syncbn_matches_single_device():
+    """Supernet sampled forward with cross-replica BN over a 4-way 'data'
+    mesh == single-device forward on the same global batch."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tfnas_tpu.models.supernet import SuperNetwork
+
+    net1 = SuperNetwork(num_classes=8)
+    netN = SuperNetwork(num_classes=8, bn_axis_name="data")
+    params, arch = net1.init(jax.random.PRNGKey(0))
+    masks = net1.device_masks(ss.build_mc_mask_dddict())
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3), np.float32))
+    idx = jnp.asarray(np.arange(18) % 8, jnp.int32)
+
+    ref = net1.apply_sampled(params, arch, masks, x, idx, training=True)
+
+    mesh = make_mesh(4)
+    fn = shard_map(
+        lambda p, a, m, xx: netN.apply_sampled(p, a, m, xx, idx,
+                                               training=True),
+        mesh=mesh, in_specs=(P(), P(), P(), P("data")), out_specs=P("data"),
+        check_vma=False)
+    got = jax.jit(fn)(params, arch, masks, jax.device_put(
+        x, NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3,
+                               atol=5e-3)

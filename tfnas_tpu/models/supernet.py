@@ -112,15 +112,22 @@ def _dw_tap_mask(op_idx):
 class SuperNetwork:
     """Supernet over the TF-NAS space (model_search.py:213-365)."""
 
-    def __init__(self, num_classes, remat_blocks=False, use_pallas=False):
+    def __init__(self, num_classes, remat_blocks=False, use_pallas=False,
+                 bn_axis_name=None):
         # use_pallas: opt-in fused depthwise kernel (kernels/fused_dw.py).
         # Measured on v5e: XLA's depthwise conv currently wins for most of
         # this workload's shapes (Mosaic sublane relayouts dominate the
         # Pallas formulation), so the default stays False; the kernel and
         # its parity tests remain as the optimization vehicle.
+        #
+        # bn_axis_name: mesh axis for cross-replica BN statistics when the
+        # search itself runs data-parallel (the in-group 'data' axis of the
+        # Pareto mesh) — keeps batch-stat BN semantics identical to the
+        # reference's single-device batch regardless of sharding.
         self.num_classes = num_classes
         self.remat_blocks = remat_blocks
         self.use_pallas = bool(use_pallas)
+        self.bn_axis_name = bn_axis_name
         self.first_stem = ConvLayer(affine=False, **ss.STEM_CONV)
         self.second_stem = MBInvertedResBlock(affine=False, **ss.SECOND_STEM)
         self.sites = block_sites()
@@ -205,17 +212,21 @@ class SuperNetwork:
 
     def _stem(self, params, x, training):
         x, _ = self.first_stem.apply(params["first_stem"], {}, x,
-                                     training=training)
+                                     training=training,
+                                     bn_axis_name=self.bn_axis_name)
         x, _ = self.second_stem.apply(params["second_stem"], {}, x,
-                                      training=training)
+                                      training=training,
+                                      bn_axis_name=self.bn_axis_name)
         return x
 
     def _head(self, params, x, training):
         x, _ = self.feature_mix_layer.apply(params["feature_mix_layer"], {},
-                                            x, training=training)
+                                            x, training=training,
+                                            bn_axis_name=self.bn_axis_name)
         x = jnp.mean(x, axis=(1, 2))
         x, _ = self.classifier.apply(params["classifier"], {}, x,
-                                     training=training)
+                                     training=training,
+                                     bn_axis_name=self.bn_axis_name)
         return x
 
     @staticmethod
@@ -240,6 +251,10 @@ class SuperNetwork:
         hm = h_raw.astype(sd) * mask_flat.astype(sd)
         s1 = jnp.sum(hm, axis=(0, 1, 2))
         q1 = jnp.sum(hm * hm, axis=(0, 1, 2))
+        if self.bn_axis_name is not None:
+            s1 = jax.lax.psum(s1, self.bn_axis_name)
+            q1 = jax.lax.psum(q1, self.bn_axis_name)
+            n1 = n1 * jax.lax.psum(jnp.ones((), sd), self.bn_axis_name)
         mean1 = s1 / n1
         var1 = q1 / n1 - mean1 * mean1
         scale1, offset1 = fold_bn_mask(mean1, var1, mask_flat, BN_EPS)
@@ -258,6 +273,10 @@ class SuperNetwork:
             q2 = jnp.sum(h2f * h2f, axis=(0, 1, 2))
 
         n2 = h2.shape[0] * h2.shape[1] * h2.shape[2]
+        if self.bn_axis_name is not None:
+            s2 = jax.lax.psum(s2, self.bn_axis_name)
+            q2 = jax.lax.psum(q2, self.bn_axis_name)
+            n2 = n2 * jax.lax.psum(jnp.ones((), sd), self.bn_axis_name)
         mean2 = s2 / n2
         var2 = q2 / n2 - mean2 * mean2
         scale2, offset2 = fold_bn_mask(mean2, var2, mask_flat, BN_EPS)
@@ -307,7 +326,8 @@ class SuperNetwork:
         pk = jnp.transpose(pk, (1, 2, 3, 0, 4)).reshape(1, 1, W,
                                                         n_ops * site.oc)
         y = self._conv(h, pk, groups=n_ops)              # [N,h,w,8*oc]
-        y, _ = batch_norm(y, {}, {}, affine=False, training=training)
+        y, _ = batch_norm(y, {}, {}, affine=False, training=training,
+                          axis_name=self.bn_axis_name)
 
         # weighted cross-branch sum AFTER the per-branch project BN
         y = y.reshape(*y.shape[:3], n_ops, site.oc)
@@ -344,7 +364,8 @@ class SuperNetwork:
 
         pk = jnp.take(p["project"]["kernel"], op_idx, axis=0)  # [1,1,W,oc]
         y = self._conv(h, pk)
-        y, _ = batch_norm(y, {}, {}, affine=False, training=training)
+        y, _ = batch_norm(y, {}, {}, affine=False, training=training,
+                          axis_name=self.bn_axis_name)
         if site.has_residual:
             y = y + x
         return y
@@ -393,7 +414,8 @@ class SuperNetwork:
         pk = jnp.take(p["project"]["kernel"], op_idx_s, axis=0)  # [S,1,1,W,oc]
         pk = jnp.transpose(pk, (1, 2, 3, 0, 4)).reshape(1, 1, W, S * site.oc)
         y = self._conv(h, pk, groups=S)
-        y, _ = batch_norm(y, {}, {}, affine=False, training=training)
+        y, _ = batch_norm(y, {}, {}, affine=False, training=training,
+                          axis_name=self.bn_axis_name)
         if site.has_residual:
             y = y + x
         return y
@@ -429,7 +451,8 @@ class SuperNetwork:
         fk = params["feature_mix_layer"]["conv"]["kernel"]       # [1,1,320,1280]
         fk = jnp.concatenate([fk] * S, axis=3)                   # shared weights
         h = self._conv(x, fk, groups=S)                          # [N,h,w,S*1280]
-        h, _ = batch_norm(h, {}, {}, affine=False, training=training)
+        h, _ = batch_norm(h, {}, {}, affine=False, training=training,
+                          axis_name=self.bn_axis_name)
         h = apply_act(h, self.feature_mix_layer.act_func)
         pooled = jnp.mean(h, axis=(1, 2)).reshape(-1, S, ss.HEAD_FEATURES)
         logits = jnp.einsum(

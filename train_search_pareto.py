@@ -92,7 +92,10 @@ def main():
     group_masks = [ss.build_mc_mask_dddict() for _ in range(G)]
     mc_maxnum = get_mc_num_dddict(group_masks[0], is_max=True)
 
-    net = SuperNetwork(args.num_classes)
+    # cross-replica BN over the in-group data axis keeps batch-stat BN
+    # semantics identical to the reference's single-device batch
+    net = SuperNetwork(args.num_classes,
+                       bn_axis_name='data' if n_dev // G > 1 else None)
     state = init_pareto_state(net, jax.random.PRNGKey(args.seed), G)
     weight_step, arch_step = make_pareto_search_steps(
         net, mesh, num_classes=args.num_classes, targets=targets,
