@@ -33,12 +33,20 @@ def measure_latency_in_ms(fn, example_args, warmup=25, iters=100):
 
 
 def measure_model_latency_in_ms(net, batch_size, image_size=224,
-                                dtype=None, warmup=25, iters=100, seed=0):
+                                dtype=None, warmup=25, iters=100, seed=0,
+                                fold_bn=True):
     """Latency of one eval-net forward at the given batch size (the
-    parsing_model.py --print_lat measurement, parsing_model.py:122-134)."""
+    parsing_model.py --print_lat measurement, parsing_model.py:122-134).
+
+    fold_bn folds BatchNorm into the convolutions first (models/folding.py)
+    — the deployment-parity configuration."""
     import jax.numpy as jnp
     dtype = dtype or jnp.float32
     params, state = net.init(jax.random.PRNGKey(seed))
+    if fold_bn:
+        from ..models.folding import fold_batchnorm
+        net, params = fold_batchnorm(net, params, state)
+        state = {}
     x = jnp.asarray(
         np.random.default_rng(seed).standard_normal(
             (batch_size, image_size, image_size, 3), np.float32), dtype)

@@ -161,10 +161,10 @@ class EvalNetwork:
         r = iter(range(n_rngs))
 
         x, new_state["first_stem"] = self.first_stem.apply(
-            params["first_stem"], state["first_stem"], x,
+            params["first_stem"], state.get("first_stem", {}), x,
             training=training, bn_axis_name=bn_axis_name)
         x, new_state["second_stem"] = self.second_stem.apply(
-            params["second_stem"], state["second_stem"], x,
+            params["second_stem"], state.get("second_stem", {}), x,
             training=training, rng=rngs[next(r)], bn_axis_name=bn_axis_name)
 
         for stage, blocks in self.stages.items():
@@ -172,21 +172,21 @@ class EvalNetwork:
             for i, block in enumerate(blocks):
                 bn = f"block{i + 1}"
                 x, st[bn] = block.apply(
-                    params[stage][bn], state[stage][bn], x,
+                    params[stage][bn], state.get(stage, {}).get(bn, {}), x,
                     training=training, rng=rngs[next(r)],
                     bn_axis_name=bn_axis_name)
             new_state[stage] = st
 
         x, new_state["feature_mix_layer"] = self.feature_mix_layer.apply(
-            params["feature_mix_layer"], state["feature_mix_layer"], x,
-            training=training, bn_axis_name=bn_axis_name)
+            params["feature_mix_layer"], state.get("feature_mix_layer", {}),
+            x, training=training, bn_axis_name=bn_axis_name)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         if self.dropout_rate > 0.0 and training and rng is not None:
             keep = 1.0 - self.dropout_rate
             mask = jax.random.bernoulli(rngs[-1], keep, x.shape)
             x = jnp.where(mask, x / keep, 0.0).astype(x.dtype)
         x, new_state["classifier"] = self.classifier.apply(
-            params["classifier"], state["classifier"], x,
+            params["classifier"], state.get("classifier", {}), x,
             training=training, bn_axis_name=bn_axis_name)
         return x, new_state
 
