@@ -51,18 +51,24 @@ def _kernel(x_ref, w_ref, scale_ref, offset_ref, y_ref, ssum_ref, ssq_ref,
     xf = x.astype(jnp.float32) * scale[None, None, :] + offset[None, None, :]
     if act_fn is not None:
         xf = act_fn(xf)
-    xp = jnp.pad(xf, ((KPAD, KPAD), (KPAD, KPAD), (0, 0)))
+    # Pad rows only (outer dim, layout-free). Column shifts use hardware
+    # sublane rotates (pltpu.roll) with edge masking instead of unaligned
+    # slices — 4 rotates + 25 vector FMAs, zero W-padding relayouts.
+    xp = jnp.pad(xf, ((KPAD, KPAD), (0, 0), (0, 0)))   # [H+4, W, C]
 
-    # Minimize sublane relayouts: materialize the 5 column-shifted planes
-    # ONCE (5 relayouts), then row shifts are free outer-dim slices — 25
-    # taps cost 5 relayouts + 25 vector FMAs instead of 25 relayouts.
-    cols = [jax.lax.slice(xp, (0, dx, 0), (xp.shape[0], dx + wo, xp.shape[2]))
-            for dx in range(2 * KPAD + 1)]
+    wid = jax.lax.broadcasted_iota(jnp.int32, (1, wdt, 1), 1)
     acc = jnp.zeros((ho, wo, x.shape[-1]), jnp.float32)
     for dx in range(2 * KPAD + 1):
-        xc = cols[dx]
+        shift = dx - KPAD
+        if shift == 0:
+            plane = xp
+        else:
+            plane = pltpu.roll(xp, (-shift) % wdt, axis=1)  # circular
+            valid = (wid + shift >= 0) & (wid + shift < wdt)
+            plane = jnp.where(valid, plane, 0.0)
         for dy in range(2 * KPAD + 1):
-            tap = jax.lax.slice(xc, (dy, 0, 0), (dy + ho, wo, xc.shape[2]))
+            tap = jax.lax.slice(plane, (dy, 0, 0),
+                                (dy + ho, wo, plane.shape[2]))
             acc = acc + tap * w_ref[dy, dx, :][None, None, :]
 
     y_ref[0] = acc.astype(y_ref.dtype)
