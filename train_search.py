@@ -288,9 +288,11 @@ def main():
             logging.info(
                 'Before, the current lat: %.4f, the target lat: %.4f',
                 before_lat, args.target_lat)
+            # pass the device tree: rewrite_masks_by_l1 np.asarray's only the
+            # parsed blocks' depthwise kernels (avoids pulling all ~94M
+            # params to host every epoch)
             mc_mask_dddict = rewrite_masks_by_l1(
-                parsed_arch, mc_num_dddict, mc_mask_dddict,
-                to_numpy_tree(params))
+                parsed_arch, mc_num_dddict, mc_mask_dddict, params)
             logging.info(
                 'After, the current lat: %.4f, the target lat: %.4f',
                 after_lat, args.target_lat)
