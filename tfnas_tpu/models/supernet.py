@@ -290,48 +290,86 @@ class SuperNetwork:
         """All 8 branches fused; returns Σ_o w_o · op_o(x).
 
         pad_mask: [8, W] current width masks (padded). w: [8] Gumbel weights.
+
+        Width-parity split: the stored stacked params pad every candidate to
+        the e6 max width W = 8*ic, but the four e3 candidates (even op
+        indices) never exceed We3 = W/2. The soft path therefore slices the
+        e3 candidates to their true width and runs the fused convolutions at
+        total width 4*We3 + 4*W = 6*ic*8 instead of 8*W — a 25% compute/
+        bandwidth cut on the arch step's dominant ops with identical math
+        (the sliced-away half is mask-zero by construction).
+
+        Channel layout downstream: [e3 ops (0,2,4,6) x We3 | e6 ops
+        (1,3,5,7) x W].
         """
         n_ops, W = pad_mask.shape
-        flat_mask = pad_mask.reshape(-1)  # [8W]
+        we3 = W // 2
+        half = n_ops // 2
+        mask3 = pad_mask[::2, :we3]                       # [4, We3]
+        mask6 = pad_mask[1::2, :]                         # [4, W]
+        flat_mask = jnp.concatenate([mask3.reshape(-1), mask6.reshape(-1)])
 
-        # expand: one 1x1 conv ic -> 8W
+        # expand: one 1x1 conv ic -> 6*ic*8 (e3 slice + e6 concatenated)
         ek = p["expand"]["kernel"]                       # [8,1,1,ic,W]
-        ek = jnp.transpose(ek, (1, 2, 3, 0, 4)).reshape(1, 1, site.ic,
-                                                        n_ops * W)
-        h = self._conv(x, ek)
+        ek3 = jnp.transpose(ek[::2, :, :, :, :we3],
+                            (1, 2, 3, 0, 4)).reshape(1, 1, site.ic,
+                                                     half * we3)
+        ek6 = jnp.transpose(ek[1::2], (1, 2, 3, 0, 4)).reshape(
+            1, 1, site.ic, half * W)
+        h = self._conv(x, jnp.concatenate([ek3, ek6], axis=3))
 
-        # mask -> BN -> act -> depthwise 5x5 over 8W -> mask -> BN -> act
-        # (Pallas-fused when enabled and stride 1)
+        # mask -> BN -> act -> depthwise -> mask -> BN -> act
         dk = p["depth"]["kernel"]                        # [8,5,5,1,W]
-        dk = jnp.transpose(dk, (1, 2, 3, 0, 4)).reshape(KMAX, KMAX,
-                                                        n_ops * W)
-        h = self._dw_middle(h, dk, flat_mask, site.act, site.stride)
+        dk3 = jnp.transpose(dk[::2, :, :, :, :we3],
+                            (1, 2, 3, 0, 4)).reshape(KMAX, KMAX, half * we3)
+        dk6 = jnp.transpose(dk[1::2], (1, 2, 3, 0, 4)).reshape(
+            KMAX, KMAX, half * W)
+        h = self._dw_middle(h, jnp.concatenate([dk3, dk6], axis=2),
+                            flat_mask, site.act, site.stride)
 
-        # SE: batched per-op matmuls on the pooled vector, gate=1 for non-SE
+        # SE per parity group (gate=1 for non-SE candidates)
         se = p["se"]
-        pooled = jnp.mean(h, axis=(1, 2)).reshape(-1, n_ops, W)  # [N,8,W]
-        z = jnp.einsum("now,ows->nos", pooled,
-                       se["reduce_kernel"].astype(h.dtype))
-        z = z + se["reduce_bias"].astype(h.dtype)
-        z = apply_act(z, site.act)
-        g = jnp.einsum("nos,osw->now", z,
-                       se["expand_kernel"].astype(h.dtype))
-        g = g + se["expand_bias"].astype(h.dtype)
-        gate = jnp.where(jnp.asarray(self.se_on)[None, :, None],
-                         jax.nn.sigmoid(g.astype(stat_dtype(g.dtype))), 1.0)
-        h = h * gate.reshape(h.shape[0], 1, 1, n_ops * W).astype(h.dtype)
+        se_on = jnp.asarray(self.se_on)
+        h3, h6 = h[..., :half * we3], h[..., half * we3:]
+        pooled3 = jnp.mean(h3, axis=(1, 2)).reshape(-1, half, we3)
+        pooled6 = jnp.mean(h6, axis=(1, 2)).reshape(-1, half, W)
 
-        # project: grouped 1x1 conv 8W -> 8*oc (branch channels disjoint)
+        def se_gate(pooled, rk, rb, xk, xb, on):
+            z = jnp.einsum("now,ows->nos", pooled, rk.astype(pooled.dtype))
+            z = apply_act(z + rb.astype(pooled.dtype), site.act)
+            g = jnp.einsum("nos,osw->now", z, xk.astype(pooled.dtype))
+            g = g + xb.astype(pooled.dtype)
+            return jnp.where(on[None, :, None],
+                             jax.nn.sigmoid(g.astype(stat_dtype(g.dtype))),
+                             1.0)
+
+        gate3 = se_gate(pooled3, se["reduce_kernel"][::2, :we3, :],
+                        se["reduce_bias"][::2],
+                        se["expand_kernel"][::2, :, :we3],
+                        se["expand_bias"][::2, :we3], se_on[::2])
+        gate6 = se_gate(pooled6, se["reduce_kernel"][1::2],
+                        se["reduce_bias"][1::2], se["expand_kernel"][1::2],
+                        se["expand_bias"][1::2], se_on[1::2])
+        n = h.shape[0]
+        h3 = h3 * gate3.reshape(n, 1, 1, half * we3).astype(h.dtype)
+        h6 = h6 * gate6.reshape(n, 1, 1, half * W).astype(h.dtype)
+
+        # project: two grouped 1x1 convs (4 groups each), then per-branch BN
         pk = p["project"]["kernel"]                      # [8,1,1,W,oc]
-        pk = jnp.transpose(pk, (1, 2, 3, 0, 4)).reshape(1, 1, W,
-                                                        n_ops * site.oc)
-        y = self._conv(h, pk, groups=n_ops)              # [N,h,w,8*oc]
+        pk3 = jnp.transpose(pk[::2, :, :, :we3, :], (1, 2, 3, 0, 4)).reshape(
+            1, 1, we3, half * site.oc)
+        pk6 = jnp.transpose(pk[1::2], (1, 2, 3, 0, 4)).reshape(
+            1, 1, W, half * site.oc)
+        y3 = self._conv(h3, pk3, groups=half)            # [N,h,w,4*oc]
+        y6 = self._conv(h6, pk6, groups=half)            # [N,h,w,4*oc]
+        y = jnp.concatenate([y3, y6], axis=-1)           # [e3 ops | e6 ops]
         y, _ = batch_norm(y, {}, {}, affine=False, training=training,
                           axis_name=self.bn_axis_name)
 
         # weighted cross-branch sum AFTER the per-branch project BN
         y = y.reshape(*y.shape[:3], n_ops, site.oc)
-        y = jnp.einsum("nhwoc,o->nhwc", y, w.astype(y.dtype))
+        w_perm = jnp.concatenate([w[::2], w[1::2]])      # match layout
+        y = jnp.einsum("nhwoc,o->nhwc", y, w_perm.astype(y.dtype))
         if site.has_residual:
             y = y + x  # Σ w_o (out_o + res) == Σ w_o out_o + res (Σw=1)
         return y
