@@ -10,6 +10,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tfnas_tpu.data import DataLoader, ImageList, synthetic_loader
 from tfnas_tpu.models.eval_net import EvalNetwork
@@ -17,7 +18,7 @@ from tfnas_tpu.search.parser import (get_mc_num_dddict,
                                      get_op_and_depth_weights,
                                      parse_architecture)
 from tfnas_tpu.utils import AverageMeter, load_checkpoint
-from tfnas_tpu.utils.metrics import accuracy, cross_entropy
+from tfnas_tpu.utils.metrics import accuracy, masked_mean
 
 parser = argparse.ArgumentParser("testing the trained architectures (TPU)")
 parser.add_argument('--val_root', type=str, default='')
@@ -57,10 +58,12 @@ def main():
     params, bn_state = ckpt['params'], ckpt['bn_state']
 
     @jax.jit
-    def fwd(p, s, x, y):
+    def fwd(p, s, x, y, wmask):
         logits, _ = net.apply(p, s, x, training=False)
-        loss = cross_entropy(logits, y)
-        top1, top5 = accuracy(logits, y, topk=(1, 5))
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+        loss = masked_mean(nll, wmask)
+        top1, top5 = accuracy(logits, y, topk=(1, 5), weights=wmask)
         return loss, top1, top5
 
     if args.synthetic:
@@ -70,13 +73,17 @@ def main():
         ds = ImageList(args.val_root, args.val_list, training=False,
                        image_size=args.image_size)
         batches = DataLoader(ds, args.batch_size, shuffle=False,
-                             num_workers=args.workers)
+                             num_workers=args.workers, drop_last=False,
+                             pad_last=True)
 
     meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
-    for x, y in batches:
+    for batch in batches:
+        x, y = batch[0], batch[1]
+        n = batch[2] if len(batch) > 2 else len(y)
+        wmask = np.zeros((len(y),), np.float32)
+        wmask[:n] = 1.0
         loss, top1, top5 = fwd(params, bn_state, jnp.asarray(x),
-                               jnp.asarray(y))
-        n = len(y)
+                               jnp.asarray(y), jnp.asarray(wmask))
         meters["loss"].update(float(loss), n)
         meters["top1"].update(float(top1), n)
         meters["top5"].update(float(top5), n)

@@ -124,3 +124,30 @@ def test_get_op_and_depth_weights_from_arch_params():
     assert len(op_w) == 18 and len(depth_w) == 6
     np.testing.assert_allclose(op_w[0], np.ones(8) / 8, rtol=1e-6)
     np.testing.assert_allclose(depth_w[1], np.ones(3) / 3, rtol=1e-6)
+
+
+def test_padded_val_loader_and_masked_accuracy():
+    """pad_last loader pads the tail batch; masked accuracy ignores pads."""
+    from tfnas_tpu.data.imagelist import DataLoader
+    from tfnas_tpu.utils.metrics import accuracy
+
+    class FakeDs:
+        image_size = 4
+        def __len__(self):
+            return 10
+        def get(self, i, rng):
+            return np.full((4, 4, 3), i, np.float32), i % 3
+
+    dl = DataLoader(FakeDs(), batch_size=4, shuffle=False, num_workers=1,
+                    drop_last=False, pad_last=True)
+    batches = list(dl)
+    assert len(batches) == 3
+    xs, ys, n = batches[-1]
+    assert xs.shape[0] == 4 and n == 2
+    assert ys[2] == ys[1] and ys[3] == ys[1]  # padded by repetition
+
+    logits = jnp.asarray(np.eye(3)[[0, 1, 0, 0]], jnp.float32)
+    targets = jnp.asarray([0, 1, 1, 1])
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    (top1,) = accuracy(logits, targets, topk=(1,), weights=w)
+    assert float(top1) == 100.0  # pads (wrong) are masked out

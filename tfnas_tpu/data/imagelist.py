@@ -103,7 +103,12 @@ class DataLoader:
     (XLA needs fixed batch dims), prefetch via a bounded queue."""
 
     def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
-                 seed=0, drop_last=True, prefetch=4):
+                 seed=0, drop_last=True, prefetch=4, pad_last=False):
+        """pad_last: with drop_last=False, pad the final short batch to
+        batch_size by repeating its last sample and yield
+        (x, y, n_valid) 3-tuples so metrics can mask the padding — keeps
+        XLA shapes static while evaluating EVERY sample (the reference
+        evaluates the full val set, test.py:74-96)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -111,6 +116,7 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.pad_last = pad_last and not drop_last
         self.epoch = 0
 
     def __len__(self):
@@ -131,6 +137,10 @@ class DataLoader:
 
         def load_batch(bi):
             idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+            n_valid = len(idxs)
+            if self.pad_last and n_valid < self.batch_size:
+                idxs = np.concatenate(
+                    [idxs, np.full(self.batch_size - n_valid, idxs[-1])])
             xs = np.empty((len(idxs), self.dataset.image_size,
                            self.dataset.image_size, 3), np.float32)
             ys = np.empty((len(idxs),), np.int32)
@@ -138,6 +148,8 @@ class DataLoader:
             for j, i in enumerate(idxs):
                 x, y = self.dataset.get(int(i), sub)
                 xs[j], ys[j] = x, y
+            if self.pad_last:
+                return xs, ys, n_valid
             return xs, ys
 
         def producer():

@@ -29,7 +29,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..search.train_step import sgd_momentum_update, zeros_like_momentum
-from ..utils.metrics import accuracy, cross_entropy, cross_entropy_label_smooth
+from ..utils.metrics import accuracy, cross_entropy_label_smooth
 from .mesh import DATA_AXIS
 
 
@@ -77,14 +77,23 @@ def make_eval_steps(net, mesh, *, num_classes, label_smooth=0.1,
         top5 = jax.lax.pmean(top5, DATA_AXIS)
         return params, new_bn, mom, {"loss": loss, "top1": top1, "top5": top5}
 
-    def _val_shard(params, bn_state, x, y):
+    def _val_shard(params, bn_state, x, y, wmask):
+        """wmask: [local_batch] 0/1 validity (padded final batches).
+        Metrics are global masked means: psum of weighted sums / psum of
+        valid counts — exact over the full validation set."""
         logits, _ = net.apply(params, bn_state, x.astype(compute_dtype),
                               training=False)
-        loss = jax.lax.pmean(cross_entropy(logits, y), DATA_AXIS)
-        top1, top5 = accuracy(logits, y, topk=(1, 5))
-        return {"loss": loss,
-                "top1": jax.lax.pmean(top1, DATA_AXIS),
-                "top5": jax.lax.pmean(top5, DATA_AXIS)}
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+        w = wmask.astype(jnp.float32)
+        _, pred = jax.lax.top_k(logits, 5)
+        correct = (pred == y[:, None]).astype(jnp.float32) * w[:, None]
+        wsum = jax.lax.psum(jnp.sum(w), DATA_AXIS)
+        wsum = jnp.maximum(wsum, 1.0)
+        loss = jax.lax.psum(jnp.sum(nll * w), DATA_AXIS) / wsum
+        top1 = jax.lax.psum(jnp.sum(correct[:, :1]), DATA_AXIS) / wsum * 100.0
+        top5 = jax.lax.psum(jnp.sum(correct), DATA_AXIS) / wsum * 100.0
+        return {"loss": loss, "top1": top1, "top5": top5}
 
     rep = P()
     sharded = P(DATA_AXIS)
@@ -96,7 +105,7 @@ def make_eval_steps(net, mesh, *, num_classes, label_smooth=0.1,
         check_vma=False)
     val_sm = shard_map(
         _val_shard, mesh=mesh,
-        in_specs=(rep, rep, sharded, sharded),
+        in_specs=(rep, rep, sharded, sharded, sharded),
         out_specs=rep,
         check_vma=False)
 
@@ -107,8 +116,10 @@ def make_eval_steps(net, mesh, *, num_classes, label_smooth=0.1,
         return EvalTrainState(params, bn, mom, state.epoch), metrics
 
     @jax.jit
-    def val_step(state: EvalTrainState, x, y):
-        return val_sm(state.params, state.bn_state, x, y)
+    def val_step(state: EvalTrainState, x, y, wmask=None):
+        if wmask is None:
+            wmask = jnp.ones(y.shape, jnp.float32)
+        return val_sm(state.params, state.bn_state, x, y, wmask)
 
     return train_step, val_step
 

@@ -12,13 +12,27 @@ import jax
 import jax.numpy as jnp
 
 
-def accuracy(logits, targets, topk=(1,)):
-    """Top-k accuracy in percent. Returns a list of scalars."""
+def accuracy(logits, targets, topk=(1,), weights=None):
+    """Top-k accuracy in percent. Returns a list of scalars.
+
+    weights: optional [N] 0/1 validity mask for padded batches — metrics
+    average over sum(weights) samples only."""
     maxk = max(topk)
-    n = targets.shape[0]
     _, pred = jax.lax.top_k(logits, maxk)                      # [N, maxk]
     correct = (pred == targets[:, None]).astype(jnp.float32)   # [N, maxk]
+    if weights is not None:
+        w = weights.astype(jnp.float32)
+        correct = correct * w[:, None]
+        n = jnp.maximum(jnp.sum(w), 1.0)
+    else:
+        n = targets.shape[0]
     return [jnp.sum(correct[:, :k]) * (100.0 / n) for k in topk]
+
+
+def masked_mean(values, weights):
+    """Mean of per-sample values over a 0/1 validity mask."""
+    w = weights.astype(jnp.float32)
+    return jnp.sum(values * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def cross_entropy(logits, targets):

@@ -16,6 +16,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tfnas_tpu.data import DataLoader, ImageList, synthetic_loader
 from tfnas_tpu.models.eval_net import EvalNetwork
@@ -141,7 +142,8 @@ def main():
         tl = DataLoader(train_ds, args.batch_size, shuffle=True,
                         num_workers=args.workers, seed=args.seed)
         vl = DataLoader(val_ds, args.batch_size, shuffle=False,
-                        num_workers=args.workers, seed=args.seed)
+                        num_workers=args.workers, seed=args.seed,
+                        drop_last=False, pad_last=True)
         def train_iter(ep):
             tl.set_epoch(ep)
             it = iter(tl)
@@ -175,12 +177,16 @@ def main():
         logging.info('Train_acc: %f', meters["top1"].avg)
 
         vmeters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
-        for step, (x, y) in enumerate(val_iter(epoch)):
+        for step, batch in enumerate(val_iter(epoch)):
+            x, y = batch[0], batch[1]
+            n_valid = batch[2] if len(batch) > 2 else len(y)
+            wmask = np.zeros((len(y),), np.float32)
+            wmask[:n_valid] = 1.0
             x = jax.device_put(jnp.asarray(x), xsh)
             y = jax.device_put(jnp.asarray(y), xsh)
-            m = val_step(state, x, y)
+            m = val_step(state, x, y, jax.device_put(jnp.asarray(wmask), xsh))
             for mk in vmeters:
-                vmeters[mk].update(float(m[mk]), len(y))
+                vmeters[mk].update(float(m[mk]), n_valid)
         val_acc_top1 = vmeters["top1"].avg
         val_acc_top5 = vmeters["top5"].avg
         logging.info('Val_acc_top1: %f', val_acc_top1)
