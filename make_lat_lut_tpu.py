@@ -142,15 +142,22 @@ def measure_block_ms(res, cin, se, cout, k, stride, act, mc, batch,
 
 
 def build_measured_lut(batch=32, stride_points=16, warmup=10, iters=50,
-                       log=print, max_keys=0):
+                       log=print, max_keys=0, resume_lut=None,
+                       checkpoint=None):
     """Measure a grid of mc points per key and linearly interpolate to every
-    integer (the reference's convert_latency_lookup approach)."""
+    integer (the reference's convert_latency_lookup approach).
+
+    resume_lut: a previously-written (partial) LUT dict — its keys are kept
+    and skipped, so an interrupted multi-hour build continues where it
+    stopped. checkpoint: callable(lut) invoked after 'base' and after every
+    completed key (used for incremental atomic writes)."""
     import jax
     import jax.numpy as jnp
     from tfnas_tpu.cost.measure import measure_latency_in_ms
     from tfnas_tpu.ops.layers import ConvLayer, LinearLayer, MBInvertedResBlock
 
-    lut = OrderedDict()
+    lut = OrderedDict(resume_lut or {})
+    checkpoint = checkpoint or (lambda lut: None)
 
     # base: the five fixed modules at their true shapes
     def time_layer(layer, shape, dtype=jnp.bfloat16):
@@ -163,21 +170,25 @@ def build_measured_lut(batch=32, stride_points=16, warmup=10, iters=50,
             return y
         return measure_latency_in_ms(fwd, (params, state, x), warmup, iters)
 
-    log('measuring base (stem + head)...')
-    base = 0.0
-    base += time_layer(ConvLayer(affine=True, **ss.STEM_CONV),
-                       (batch, 224, 224, 3))
-    base += time_layer(MBInvertedResBlock(affine=True, **ss.SECOND_STEM),
-                       (batch, 112, 112, 32))
-    base += time_layer(ConvLayer(affine=True, **ss.HEAD_CONV),
-                       (batch, 7, 7, 320))
-    # GAP
-    base += measure_latency_in_ms(
-        lambda x: x.mean(axis=(1, 2)),
-        (jnp.zeros((batch, 7, 7, 1280), jnp.bfloat16),), warmup, iters)
-    base += time_layer(LinearLayer(1280, 1000), (batch, 1280))
-    lut['base'] = base
-    log(f"base = {base:.4f} ms")
+    if 'base' in lut:
+        log(f"base = {lut['base']:.4f} ms (resumed)")
+    else:
+        log('measuring base (stem + head)...')
+        base = 0.0
+        base += time_layer(ConvLayer(affine=True, **ss.STEM_CONV),
+                           (batch, 224, 224, 3))
+        base += time_layer(MBInvertedResBlock(affine=True, **ss.SECOND_STEM),
+                           (batch, 112, 112, 32))
+        base += time_layer(ConvLayer(affine=True, **ss.HEAD_CONV),
+                           (batch, 7, 7, 320))
+        # GAP
+        base += measure_latency_in_ms(
+            lambda x: x.mean(axis=(1, 2)),
+            (jnp.zeros((batch, 7, 7, 1280), jnp.bfloat16),), warmup, iters)
+        base += time_layer(LinearLayer(1280, 1000), (batch, 1280))
+        lut['base'] = base
+        log(f"base = {base:.4f} ms")
+        checkpoint(lut)
 
     done = 0
     for res, cin, cout, stride, act in _site_list():
@@ -189,6 +200,9 @@ def build_measured_lut(batch=32, stride_points=16, warmup=10, iters=50,
                 se = se_mult * cin
                 key = (f"MBInvertedResBlock_{res}_{cin}_{se}_{cout}"
                        f"_k{k}_s{stride}_{act}")
+                if key in lut:
+                    log(f"{key}: resumed")
+                    continue
                 max_mc = cin * e_max
                 pts = sorted(set(
                     [1, max_mc]
@@ -203,6 +217,7 @@ def build_measured_lut(batch=32, stride_points=16, warmup=10, iters=50,
                     (int(mc), float(v)) for mc, v in zip(xs, interp))
                 log(f"{key}: [{lats[0]:.4f} .. {lats[-1]:.4f}] ms "
                     f"({len(pts)} points)")
+                checkpoint(lut)
     return lut
 
 
@@ -221,19 +236,36 @@ def main():
                         help='calibration scale for analytic mode')
     parser.add_argument('--max_keys', type=int, default=0,
                         help='measure only the first N keys (smoke runs)')
+    parser.add_argument('--resume', action='store_true',
+                        help='measure mode: keep keys already in --output '
+                             'and continue from the first missing one')
     args = parser.parse_args()
+
+    import os
+    os.makedirs(os.path.dirname(args.output) or '.', exist_ok=True)
+
+    def write_atomic(lut):
+        tmp = args.output + '.tmp'
+        with open(tmp, 'wb') as f:
+            pickle.dump(lut, f)
+        os.replace(tmp, args.output)
 
     if args.mode == 'analytic':
         lut = build_analytic_lut(args.batch_size, args.scale)
     else:
+        resume_lut = None
+        if args.resume and os.path.exists(args.output):
+            with open(args.output, 'rb') as f:
+                resume_lut = pickle.load(f)
+            print(f"resuming: {len(resume_lut)} keys already in "
+                  f"{args.output}")
         lut = build_measured_lut(args.batch_size, args.stride_points,
                                  args.warmup, args.iters,
-                                 max_keys=args.max_keys)
+                                 max_keys=args.max_keys,
+                                 resume_lut=resume_lut,
+                                 checkpoint=write_atomic)
 
-    import os
-    os.makedirs(os.path.dirname(args.output) or '.', exist_ok=True)
-    with open(args.output, 'wb') as f:
-        pickle.dump(lut, f)
+    write_atomic(lut)
     print(f"wrote {len(lut)} keys -> {args.output}")
 
 

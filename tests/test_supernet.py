@@ -121,6 +121,24 @@ def test_bisampling_never_repeats():
         assert np.all((np.asarray(r) >= 0) & (np.asarray(r) < 8))
 
 
+def test_gumbel_2_excludes_and_distributes():
+    from tfnas_tpu.search.bisample import sample_gumbel_excluding
+    # exclusion: never returns the switched-off index (model_search.py:65-69)
+    la = jnp.zeros((18, 8))
+    for i in range(20):
+        k1, k2 = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(3), i))
+        g = sample_gumbel_indices(k1, la)
+        g2 = sample_gumbel_excluding(k2, la, g)
+        assert not np.any(np.asarray(g2) == np.asarray(g))
+    # distribution: follows softmax(alphas) renormalized over the remainder
+    la = jnp.log(jnp.asarray([[0.05, 0.75] + [0.2 / 6] * 6] * 4))
+    excl = jnp.zeros((4,), jnp.int32)
+    idx = np.asarray([sample_gumbel_excluding(jax.random.PRNGKey(i), la, excl)
+                      for i in range(100)])
+    assert not np.any(idx == 0)
+    assert (idx == 1).mean() > 0.6
+
+
 def test_gumbel_sampling_distribution():
     la = jnp.log(jnp.asarray([[0.9] + [0.1 / 7] * 7] * 4))
     idx = np.asarray([sample_gumbel_indices(jax.random.PRNGKey(i), la)

@@ -9,26 +9,52 @@ are far more stable than eager CUDA, so fewer iters suffice.
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
-def measure_latency_in_ms(fn, example_args, warmup=25, iters=100):
-    """Median wall-clock ms of `jax.jit(fn)(*example_args)`."""
-    jitted = jax.jit(fn)
-    out = jitted(*example_args)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        out = jitted(*example_args)
-    jax.block_until_ready(out)
+def measure_latency_in_ms(fn, example_args, warmup=25, iters=100,
+                          repeats=3):
+    """Median per-iteration device ms of `fn(*example_args)`.
+
+    The timed iterations run inside ONE compiled `lax.scan` whose carry
+    perturbs the last argument with a value derived from the previous
+    iteration's output (x_i = x0 + c_{i-1}). Every iteration therefore
+    depends on the one before, so (a) XLA cannot hoist the loop-invariant
+    body out of the scan, and (b) repeated identical dispatches can never be
+    served from a transport/relay cache — identical-input micro-benchmarks
+    time nonphysically fast through the axon TPU relay. One dispatch per
+    `iters`-long chain also amortizes the per-call tunnel overhead, which on
+    a remote chip would otherwise dwarf the ~10-100us blocks this LUT
+    measures (reference semantics: tools/utils.py:9-34 times bare forwards).
+    """
+    *rest, x0 = example_args
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def chain(rest, x, c, n):
+        def body(c, _):
+            out = fn(*rest, x + c.astype(x.dtype))
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return leaf.ravel()[0].astype(jnp.float32) * jnp.float32(1e-30), \
+                None
+        c, _ = jax.lax.scan(body, c, None, length=n)
+        return c
+
+    c = chain(rest, x0, jnp.float32(0), iters)  # compile + first chain
+    c.block_until_ready()
+    for i in range(max(warmup // iters, 1)):
+        c = chain(rest, x0, c + np.float32((i + 1) * 1e-33), iters)
+    c.block_until_ready()
     times = []
-    for _ in range(iters):
+    for i in range(repeats):
         tic = time.perf_counter()
-        out = jitted(*example_args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - tic)
+        c = chain(rest, x0, c + np.float32((i + 7) * 1e-33), iters)
+        c.block_until_ready()
+        times.append((time.perf_counter() - tic) / iters)
     return float(np.median(times) * 1000.0)
 
 

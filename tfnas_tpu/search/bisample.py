@@ -43,6 +43,22 @@ def gumbel_softmax_weights(key, log_alphas, temperature):
     return jax.nn.softmax((log_alphas + g) / temperature, axis=-1)
 
 
+def sample_gumbel_excluding(key, log_alphas, excluded, temperature=None):
+    """mode='gumbel_2' (model_search.py:65-69): a second Gumbel-categorical
+    draw restricted to the ops the paired 'gumbel' draw switched off, i.e.
+    argmax over log_alphas + g with the excluded index masked out. The
+    temperature only rescales the softmax, so the hard pick is again an
+    exact T-independent categorical sample over the remaining 7.
+
+    log_alphas: [B, O]; excluded: int32 [B]. Returns int32 [B]."""
+    del temperature
+    num_ops = log_alphas.shape[-1]
+    masked = jnp.where(
+        jax.nn.one_hot(excluded, num_ops, dtype=jnp.bool_),
+        -jnp.inf, log_alphas)
+    return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+
+
 def sample_min_alphas(log_alphas):
     """mode='min_alphas' (model_search.py:70-73)."""
     return jnp.argmin(log_alphas, axis=-1).astype(jnp.int32)
