@@ -66,3 +66,45 @@ def test_make_op_se_channels():
     assert op.se_channels == 80 and op.kernel_size == 3
     op = ss.make_op(2, 40, 120, 40, 1, False, "swish")
     assert op.se_channels == 0 and op.kernel_size == 5
+
+
+def test_measured_lut_builder_resume_and_checkpoint(monkeypatch):
+    """build_measured_lut skips keys present in resume_lut, invokes the
+    checkpoint callback after base and after every key, and interpolates
+    each key to all integer mc entries (make_lat_lut_tpu.py)."""
+    import make_lat_lut_tpu as mk
+
+    calls = []
+
+    def fake_measure(fn, args, warmup, iters, repeats=3):
+        calls.append(1)
+        return 0.5
+
+    monkeypatch.setattr("tfnas_tpu.cost.measure.measure_latency_in_ms",
+                        fake_measure)
+    monkeypatch.setattr(mk, "measure_block_ms",
+                        lambda *a, **k: float(a[7]) * 1e-3)  # ~mc, monotone
+
+    snapshots = []
+    lut = mk.build_measured_lut(batch=4, stride_points=3, warmup=1, iters=1,
+                                log=lambda *a: None, max_keys=2,
+                                checkpoint=lambda d: snapshots.append(len(d)))
+    assert "base" in lut and len(lut) == 3
+    # checkpoint after base, then after each of the 2 keys
+    assert snapshots == [1, 2, 3]
+    first_key = [k for k in lut if k != "base"][0]
+    mcs = list(lut[first_key])
+    assert mcs == list(range(1, max(mcs) + 1))  # every integer mc
+    vals = np.asarray(list(lut[first_key].values()))
+    assert np.all(np.diff(vals) >= 0)  # interpolated monotone
+
+    # resume: nothing re-measured, one new key appended
+    calls.clear()
+    snapshots.clear()
+    lut2 = mk.build_measured_lut(batch=4, stride_points=3, warmup=1, iters=1,
+                                 log=lambda *a: None, max_keys=3,
+                                 resume_lut=lut,
+                                 checkpoint=lambda d: snapshots.append(len(d)))
+    assert len(lut2) == 4 and not calls  # base path never re-measured
+    assert all(k in lut2 for k in lut)
+    assert snapshots == [4]  # only the one new key checkpointed

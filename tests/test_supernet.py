@@ -257,3 +257,11 @@ def test_multi_sampled_equals_separate_sampled(small_search_setup):
                                    np.asarray(l_g), rtol=1e-7, atol=1e-7)
         np.testing.assert_allclose(np.asarray(logits_multi[1]),
                                    np.asarray(l_r), rtol=1e-7, atol=1e-7)
+
+        # shared-stem pair (the bi-sampling weight-step path) is bit-exact
+        # vs two independent sampled forwards: same batch through the same
+        # stem weights -> identical stem activations and BN stats
+        p_g, p_r = net.apply_sampled_pair(params64, arch64, masks64, x,
+                                          idx_g, idx_r, training=True)
+        np.testing.assert_array_equal(np.asarray(p_g), np.asarray(l_g))
+        np.testing.assert_array_equal(np.asarray(p_r), np.asarray(l_r))

@@ -113,7 +113,7 @@ class SuperNetwork:
     """Supernet over the TF-NAS space (model_search.py:213-365)."""
 
     def __init__(self, num_classes, remat_blocks=False, use_pallas=False,
-                 bn_axis_name=None):
+                 bn_axis_name=None, cond_width_split=False):
         # use_pallas: opt-in fused depthwise kernel (kernels/fused_dw.py).
         # Measured on v5e: XLA's depthwise conv currently wins for most of
         # this workload's shapes (Mosaic sublane relayouts dominate the
@@ -128,6 +128,7 @@ class SuperNetwork:
         self.remat_blocks = remat_blocks
         self.use_pallas = bool(use_pallas)
         self.bn_axis_name = bn_axis_name
+        self.cond_width_split = bool(cond_width_split)
         self.first_stem = ConvLayer(affine=False, **ss.STEM_CONV)
         self.second_stem = MBInvertedResBlock(affine=False, **ss.SECOND_STEM)
         self.sites = block_sites()
@@ -377,36 +378,56 @@ class SuperNetwork:
     # -- hard (sampled) block ---------------------------------------------
 
     def _block_sampled(self, site, p, pad_mask, op_idx, x, training):
-        """One branch, weights gathered from the stacked arrays by op_idx."""
+        """One branch, weights gathered from the stacked arrays by op_idx.
+
+        Width-parity split via `lax.cond` (run e3 draws at We3 = W/2, exact
+        because their upper channels are mask-zero padding) is available as
+        `cond_width_split` but OFF by default: measured on v5e it is ~4.5x
+        SLOWER (111 vs 24 ms per bi-sample pair fwd+bwd) — TPU conditionals
+        serialize the block pipeline and defeat XLA fusion, costing far more
+        than the halved convolution work saves. It also must stay off under
+        vmap (Pareto), where a batched predicate lowers to a select that
+        executes BOTH branches."""
         W = site.width
-        mask = jnp.take(pad_mask, op_idx, axis=0)        # [W]
-        ek = jnp.take(p["expand"]["kernel"], op_idx, axis=0)   # [1,1,ic,W]
-        h = self._conv(x, ek)
 
-        dk = jnp.take(p["depth"]["kernel"], op_idx, axis=0)[:, :, 0, :]
-        h = self._dw_middle(h, dk, mask, site.act, site.stride)
+        def run(width):
+            mask = jnp.take(pad_mask, op_idx, axis=0)[:width]
+            ek = jnp.take(p["expand"]["kernel"], op_idx,
+                          axis=0)[..., :width]               # [1,1,ic,w]
+            h = self._conv(x, ek)
 
-        se = p["se"]
-        pooled = jnp.mean(h, axis=(1, 2))                # [N,W]
-        rk = jnp.take(se["reduce_kernel"], op_idx, axis=0)
-        rb = jnp.take(se["reduce_bias"], op_idx, axis=0)
-        xk = jnp.take(se["expand_kernel"], op_idx, axis=0)
-        xb = jnp.take(se["expand_bias"], op_idx, axis=0)
-        z = apply_act(jnp.dot(pooled, rk.astype(h.dtype)) + rb.astype(h.dtype),
-                      site.act)
-        g = jnp.dot(z, xk.astype(h.dtype)) + xb.astype(h.dtype)
-        has_se = jnp.take(jnp.asarray(self.se_on), op_idx)
-        gate = jnp.where(has_se,
-                         jax.nn.sigmoid(g.astype(stat_dtype(g.dtype))), 1.0)
-        h = h * gate[:, None, None, :].astype(h.dtype)
+            dk = jnp.take(p["depth"]["kernel"], op_idx,
+                          axis=0)[:, :, 0, :width]
+            h = self._dw_middle(h, dk, mask, site.act, site.stride)
 
-        pk = jnp.take(p["project"]["kernel"], op_idx, axis=0)  # [1,1,W,oc]
-        y = self._conv(h, pk)
-        y, _ = batch_norm(y, {}, {}, affine=False, training=training,
-                          axis_name=self.bn_axis_name)
-        if site.has_residual:
-            y = y + x
-        return y
+            se = p["se"]
+            pooled = jnp.mean(h, axis=(1, 2))                # [N,w]
+            rk = jnp.take(se["reduce_kernel"], op_idx, axis=0)[:width]
+            rb = jnp.take(se["reduce_bias"], op_idx, axis=0)
+            xk = jnp.take(se["expand_kernel"], op_idx, axis=0)[:, :width]
+            xb = jnp.take(se["expand_bias"], op_idx, axis=0)[:width]
+            z = apply_act(
+                jnp.dot(pooled, rk.astype(h.dtype)) + rb.astype(h.dtype),
+                site.act)
+            g = jnp.dot(z, xk.astype(h.dtype)) + xb.astype(h.dtype)
+            has_se = jnp.take(jnp.asarray(self.se_on), op_idx)
+            gate = jnp.where(
+                has_se, jax.nn.sigmoid(g.astype(stat_dtype(g.dtype))), 1.0)
+            h = h * gate[:, None, None, :].astype(h.dtype)
+
+            pk = jnp.take(p["project"]["kernel"], op_idx,
+                          axis=0)[:, :, :width, :]           # [1,1,w,oc]
+            y = self._conv(h, pk)
+            y, _ = batch_norm(y, {}, {}, affine=False, training=training,
+                              axis_name=self.bn_axis_name)
+            if site.has_residual:
+                y = y + x
+            return y
+
+        if not self.cond_width_split:
+            return run(W)
+        return jax.lax.cond(op_idx % 2 == 0,
+                            lambda: run(W // 2), lambda: run(W))
 
     # -- multi-sample (grouped) block --------------------------------------
 
@@ -528,6 +549,45 @@ class SuperNetwork:
             x = sum(w[d].astype(r.dtype) * r for d, r in enumerate(res_list))
             si += depth
         return self._head(params, x, training)
+
+    def apply_sampled_pair(self, params, arch_params, masks, x, idx_a,
+                           idx_b, *, training=True):
+        """The bi-sampling pair of hard forwards (train_search.py:375-379)
+        with the stem computed ONCE.
+
+        The two sampled sub-networks consume the identical batch through the
+        identical stem weights, and stem BN is batch-stat-only over that same
+        batch — so sharing the stem activations (and accumulating both
+        trunks' cotangents into one stem backward) is bit-exact vs two
+        independent apply_sampled calls while saving a full stem
+        forward+backward at the most bandwidth-expensive resolution (224²/
+        112²). Trunks and heads stay separate: sampled weights differ per
+        draw, and each head BN must see only its own trunk's batch.
+        Returns (logits_a, logits_b)."""
+        s = self._stem(params, x, training)
+
+        def trunk_head(op_indices, h0):
+            si = 0
+            h_stage = h0
+            for stage in ss.STAGE_NAMES:
+                depth = ss.STAGE_DEPTHS[stage]
+                res_list = []
+                h = h_stage
+                for d in range(depth):
+                    site = self.sites[si + d]
+                    fn = self._maybe_remat(functools.partial(
+                        self._block_sampled, site, training=training))
+                    h = fn(params[site.stage][site.block],
+                           masks[site.stage][site.block],
+                           op_indices[site.global_idx], h)
+                    res_list.append(h)
+                w = jax.nn.softmax(arch_params["betas"][stage])
+                h_stage = sum(w[d].astype(r.dtype) * r
+                              for d, r in enumerate(res_list))
+                si += depth
+            return self._head(params, h_stage, training)
+
+        return trunk_head(idx_a, s), trunk_head(idx_b, s)
 
     def apply_soft(self, params, arch_params, masks, x, gumbel_weights,
                    lat_vec, *, training=True):

@@ -88,10 +88,8 @@ def make_pareto_search_steps(net, mesh, *, num_classes, targets,
         idx_r = sample_random_excluding(kr, idx_g, ss.NUM_OPS)
 
         def loss_fn(p):
-            lg = net.apply_sampled(p, arch_params, masks, x, idx_g,
-                                   training=True)
-            lrnd = net.apply_sampled(p, arch_params, masks, x, idx_r,
-                                     training=True)
+            lg, lrnd = net.apply_sampled_pair(p, arch_params, masks, x,
+                                              idx_g, idx_r, training=True)
             return cross_entropy(lg, y) + cross_entropy(lrnd, y), lg
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -107,11 +107,10 @@ def make_search_steps(net, *, num_classes, w_mom=0.9, w_wd=1e-5,
         # NOTE: the grouped single-pass variant (net.apply_multi_sampled)
         # measured ~13% SLOWER on v5e than two sequential sampled passes
         # (XLA lowers 2-group convs worse than two dense convs at these
-        # widths), so the two-pass form stays the default.
-        logits_g = net.apply_sampled(params, arch_params, masks, x, idx_g,
-                                     training=True)
-        logits_r = net.apply_sampled(params, arch_params, masks, x, idx_r,
-                                     training=True)
+        # widths). The shared-stem pair (one stem fwd/bwd feeding both
+        # sampled trunks — bit-exact, see apply_sampled_pair) is the default.
+        logits_g, logits_r = net.apply_sampled_pair(
+            params, arch_params, masks, x, idx_g, idx_r, training=True)
         loss = cross_entropy(logits_g, y) + cross_entropy(logits_r, y)
         return loss, logits_g
 
