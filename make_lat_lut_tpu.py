@@ -121,6 +121,41 @@ def build_analytic_lut(batch=32, scale=1.0):
 
 # -- measured mode ---------------------------------------------------------
 
+def isotonic_fit(vals):
+    """Least-squares monotone non-decreasing fit (pool adjacent violators).
+
+    Real TPU block latencies are step-quantized and nearly flat inside a
+    128-lane tile, so at the microsecond scale measurement noise easily
+    produces locally DECREASING mc->latency curves. The elasticity engine's
+    expand/shrink loop (train_search.py:478-516) assumes more channels never
+    get cheaper; PAV projects the measured curve onto that constraint with
+    minimal distortion (the reference ships fitted tables too — its GPU
+    pickle even contains negative entries)."""
+    v = [float(x) for x in vals]
+    blocks = []  # (mean, count)
+    for x in v:
+        cur_v, cur_n = x, 1
+        while blocks and blocks[-1][0] > cur_v:
+            pv, pn = blocks.pop()
+            cur_v = (pv * pn + cur_v * cur_n) / (pn + cur_n)
+            cur_n += pn
+        blocks.append((cur_v, cur_n))
+    out = []
+    for val, n in blocks:
+        out.extend([max(val, 0.0)] * n)
+    return out
+
+
+def apply_isotonic(lut):
+    """Monotonize every block key's mc->ms curve in place; returns lut."""
+    for key, d in lut.items():
+        if key == "base":
+            continue
+        fitted = isotonic_fit(d.values())
+        for mc, val in zip(list(d), fitted):
+            d[mc] = val
+    return lut
+
 def measure_block_ms(res, cin, se, cout, k, stride, act, mc, batch,
                      warmup, iters):
     import jax
@@ -239,6 +274,10 @@ def main():
     parser.add_argument('--resume', action='store_true',
                         help='measure mode: keep keys already in --output '
                              'and continue from the first missing one')
+    parser.add_argument('--no_isotonic', dest='isotonic',
+                        action='store_false', default=True,
+                        help='measure mode: skip the monotone (PAV) fit of '
+                             'each mc->latency curve')
     args = parser.parse_args()
 
     import os
@@ -264,6 +303,8 @@ def main():
                                  max_keys=args.max_keys,
                                  resume_lut=resume_lut,
                                  checkpoint=write_atomic)
+        if args.isotonic:
+            lut = apply_isotonic(lut)
 
     write_atomic(lut)
     print(f"wrote {len(lut)} keys -> {args.output}")

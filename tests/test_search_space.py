@@ -108,3 +108,23 @@ def test_measured_lut_builder_resume_and_checkpoint(monkeypatch):
     assert len(lut2) == 4 and not calls  # base path never re-measured
     assert all(k in lut2 for k in lut)
     assert snapshots == [4]  # only the one new key checkpointed
+
+
+def test_isotonic_fit_pav():
+    """PAV monotone fit: non-decreasing output, preserves already-monotone
+    input, pools violators to the block mean, clamps negatives."""
+    import make_lat_lut_tpu as mk
+
+    assert mk.isotonic_fit([1.0, 2.0, 3.0]) == [1.0, 2.0, 3.0]
+    out = mk.isotonic_fit([2.0, 1.0])       # pooled to mean
+    assert out == [1.5, 1.5]
+    out = mk.isotonic_fit([1.0, 3.0, 2.0, 4.0])
+    assert out == [1.0, 2.5, 2.5, 4.0]
+    assert all(b >= a for a, b in zip(out, out[1:]))
+    assert mk.isotonic_fit([-1.0, -0.5, 1.0])[:2] == [0.0, 0.0]  # clamp
+
+    lut = {"base": 1.0, "k": {1: 0.5, 2: 0.4, 3: 0.6}}
+    mk.apply_isotonic(lut)
+    assert lut["base"] == 1.0
+    vals = list(lut["k"].values())
+    assert vals == sorted(vals) and abs(vals[0] - 0.45) < 1e-12

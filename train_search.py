@@ -95,6 +95,18 @@ def main():
     mc_mask_dddict = ss.build_mc_mask_dddict()
     mc_maxnum_dddict = get_mc_num_dddict(mc_mask_dddict, is_max=True)
 
+    # log the achievable latency range of this table so target_lat can be
+    # chosen sensibly (tables differ in scale: measured-TPU entries are
+    # microseconds-scale vs the reference GPU table's milliseconds)
+    lv = np.asarray(lat_vectors_for_mc(
+        lat_lookup, get_mc_num_dddict(mc_mask_dddict, is_max=True)))
+    logging.info(
+        "LUT '%s': base %.4f ms; full-depth max-width arch in "
+        "[%.4f, %.4f] ms depending on ops; --target_lat %.4f",
+        args.lookup_path, lat_lookup["base"],
+        lat_lookup["base"] + lv.min(1).sum(),
+        lat_lookup["base"] + lv.max(1).sum(), args.target_lat)
+
     net = SuperNetwork(args.num_classes)
     key = jax.random.PRNGKey(args.seed)
     key, init_key = jax.random.split(key)
