@@ -32,7 +32,7 @@ def main():
         return logits
 
     rng = np.random.default_rng(0)
-    for batch in (32, 128, 256):
+    for batch in (32, 128, 256, 512, 1024):
         x0 = jnp.asarray(rng.standard_normal((batch, 224, 224, 3),
                                              np.float32), jnp.bfloat16)
 
