@@ -13,14 +13,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, args, warmup=3, iters=10):
+def timeit(fn, args, x_idx, warmup=3, iters=10):
+    """Average ms/call with the input at `x_idx` chained from the previous
+    output — identical-input loops time nonphysically fast through the axon
+    relay (see CLAUDE.md / cost/measure.py). The chain stays on-device (no
+    per-iteration host sync), so dispatch overhead amortizes like a real
+    training loop."""
+    args = list(args)
+    x0 = args[x_idx]
+
+    def chain(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return x0 + (leaf.ravel()[0] * 1e-8).astype(x0.dtype)
+
     out = fn(*args)
     jax.block_until_ready(out)
     for _ in range(warmup):
+        args[x_idx] = chain(out)
         out = fn(*args)
     jax.block_until_ready(out)
     tic = time.perf_counter()
     for _ in range(iters):
+        args[x_idx] = chain(out)
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - tic) / iters * 1000
@@ -52,24 +66,33 @@ def main():
 
     f_sam = jax.jit(lambda p, xx, ii: net.apply_sampled(
         p, arch_params, masks, xx, ii, training=True))
-    rows.append(("sampled fwd", timeit(f_sam, (params, x, idx))))
+    rows.append(("sampled fwd", timeit(f_sam, (params, x, idx), 1)))
 
     def sam_loss(p, xx, yy, ii):
         return cross_entropy(net.apply_sampled(p, arch_params, masks, xx, ii,
                                                training=True), yy)
     g_sam = jax.jit(jax.grad(sam_loss))
-    rows.append(("sampled fwd+bwd", timeit(g_sam, (params, x, y, idx))))
+    rows.append(("sampled fwd+bwd", timeit(g_sam, (params, x, y, idx), 1)))
+
+    def pair_loss(p, xx, yy):
+        lg, lr = net.apply_sampled_pair(p, arch_params, masks, xx, idx, idx1,
+                                        training=True)
+        return cross_entropy(lg, yy) + cross_entropy(lr, yy)
+    g_pair = jax.jit(jax.grad(pair_loss))
+    rows.append(("bi-sample pair fwd+bwd (shared stem)",
+                 timeit(g_pair, (params, x, y), 1)))
 
     f_soft = jax.jit(lambda p, xx: net.apply_soft(
         p, arch_params, masks, xx, w, lat_vec, training=True)[0])
-    rows.append(("soft fwd (8 branches)", timeit(f_soft, (params, x))))
+    rows.append(("soft fwd (8 branches)", timeit(f_soft, (params, x), 1)))
 
     def soft_loss(a, p, xx, yy):
         logits, lat = net.apply_soft(p, a, masks, xx, w, lat_vec,
                                      training=True)
         return cross_entropy(logits, yy) + lat * 0.0
     g_soft = jax.jit(jax.grad(soft_loss))
-    rows.append(("soft arch grad", timeit(g_soft, (arch_params, params, x, y))))
+    rows.append(("soft arch grad",
+                 timeit(g_soft, (arch_params, params, x, y), 2)))
 
     steps = make_search_steps(net, num_classes=ncls)
     mom = zeros_like_momentum(params)
@@ -80,27 +103,31 @@ def main():
         return steps.weight_step(p, arch_params, m, masks, update_masks,
                                  x, y, jnp.float32(0.025), key)
     # weight_step donates params/mom; time manually with fresh feed
-    p2, m2, _ = wstep(jax.tree_util.tree_map(jnp.copy, params),
-                      jax.tree_util.tree_map(jnp.copy, mom))
-    jax.block_until_ready(m2)
+    p2, m2, met = wstep(jax.tree_util.tree_map(jnp.copy, params),
+                        jax.tree_util.tree_map(jnp.copy, mom))
+    jax.block_until_ready(met["loss"])
     tic = time.perf_counter()
     n = 10
+    xx = x
     for _ in range(n):
         p2, m2, met = steps.weight_step(p2, arch_params, m2, masks,
-                                        update_masks, x, y,
+                                        update_masks, xx, y,
                                         jnp.float32(0.025), key)
+        xx = x + (met["loss"] * 1e-8).astype(x.dtype)  # chain vs relay cache
     jax.block_until_ready(met["loss"])
     rows.append(("weight_step (bi-sample)",
                  (time.perf_counter() - tic) / n * 1000))
 
-    a2, o2, _ = steps.arch_step(params, jax.tree_util.tree_map(
+    a2, o2, met = steps.arch_step(params, jax.tree_util.tree_map(
         jnp.copy, arch_params), opt_a, masks, x, y, lat_vec,
         jnp.float32(1.0), jnp.float32(5.0), key)
-    jax.block_until_ready(a2)
+    jax.block_until_ready(met["loss_a"])
     tic = time.perf_counter()
+    xx = x
     for _ in range(n):
-        a2, o2, met = steps.arch_step(params, a2, o2, masks, x, y, lat_vec,
+        a2, o2, met = steps.arch_step(params, a2, o2, masks, xx, y, lat_vec,
                                       jnp.float32(1.0), jnp.float32(5.0), key)
+        xx = x + (met["loss_a"] * 1e-8).astype(x.dtype)
     jax.block_until_ready(met["loss_a"])
     rows.append(("arch_step (soft)", (time.perf_counter() - tic) / n * 1000))
 
