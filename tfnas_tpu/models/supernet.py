@@ -113,7 +113,8 @@ class SuperNetwork:
     """Supernet over the TF-NAS space (model_search.py:213-365)."""
 
     def __init__(self, num_classes, remat_blocks=False, use_pallas=False,
-                 bn_axis_name=None, cond_width_split=False):
+                 bn_axis_name=None, cond_width_split=False,
+                 project_einsum=True, dw_kernel_split=False):
         # use_pallas: opt-in fused depthwise kernel (kernels/fused_dw.py).
         # Measured on v5e: XLA's depthwise conv currently wins for most of
         # this workload's shapes (Mosaic sublane relayouts dominate the
@@ -129,6 +130,22 @@ class SuperNetwork:
         self.use_pallas = bool(use_pallas)
         self.bn_axis_name = bn_axis_name
         self.cond_width_split = bool(cond_width_split)
+        # project_einsum: lower the soft path's per-branch 1x1 project as a
+        # batched matmul over the op axis (einsum 'nhwgc,gco->nhwgo') instead
+        # of a grouped convolution. Identical math (branch channels are
+        # disjoint either way). MEASURED on v5e (real arch_step, warm,
+        # same-session interleaved passes): einsum 58.4 ms vs grouped
+        # 60.8 ms per arch step — einsum is the default. (First-measured-
+        # variant numbers in a fresh session run ~2x slow; only interleaved
+        # warm passes are comparable.)
+        self.project_einsum = bool(project_einsum)
+        # dw_kernel_split: run the soft path's fused depthwise as separate
+        # true-3x3 and true-5x5 convolutions (channel layout
+        # [k3e3|k3e6|k5e3|k5e6]) instead of one 5x5 conv over zero-padded k3
+        # taps — 32% less depthwise work, identical math (tested). MEASURED
+        # SLOWER on v5e (79.6-79.9 ms vs 58.4): the extra convs break XLA's
+        # single-pass fusion of the middle segment. Kept opt-in.
+        self.dw_kernel_split = bool(dw_kernel_split)
         self.first_stem = ConvLayer(affine=False, **ss.STEM_CONV)
         self.second_stem = MBInvertedResBlock(affine=False, **ss.SECOND_STEM)
         self.sites = block_sites()
@@ -238,6 +255,50 @@ class SuperNetwork:
             if kernel.shape[0] == KMAX else ((0, 0), (0, 0)),
             dimension_numbers=DIMSPEC, feature_group_count=groups)
 
+    def _dw_middle_parts(self, h_raw, parts, mask_flat, act, stride):
+        """_dw_middle with the depthwise run as one conv per channel-
+        contiguous part at its TRUE tap size. parts: [(dwk [k,k,C_part], k)]
+        covering the channel axis in order. Identical math to a single
+        padded-tap conv (a zero tap ring contributes nothing)."""
+        sd = stat_dtype(h_raw.dtype)
+        n1 = h_raw.shape[0] * h_raw.shape[1] * h_raw.shape[2]
+        hm = h_raw.astype(sd) * mask_flat.astype(sd)
+        s1 = jnp.sum(hm, axis=(0, 1, 2))
+        q1 = jnp.sum(hm * hm, axis=(0, 1, 2))
+        if self.bn_axis_name is not None:
+            s1 = jax.lax.psum(s1, self.bn_axis_name)
+            q1 = jax.lax.psum(q1, self.bn_axis_name)
+            n1 = n1 * jax.lax.psum(jnp.ones((), sd), self.bn_axis_name)
+        mean1 = s1 / n1
+        var1 = q1 / n1 - mean1 * mean1
+        scale1, offset1 = fold_bn_mask(mean1, var1, mask_flat, BN_EPS)
+
+        x1 = apply_act(
+            (h_raw.astype(sd) * scale1 + offset1).astype(h_raw.dtype), act)
+        outs, c0 = [], 0
+        for dwk, k in parts:
+            c1 = c0 + dwk.shape[-1]
+            pad = k // 2
+            outs.append(jax.lax.conv_general_dilated(
+                x1[..., c0:c1], dwk[:, :, None, :].astype(x1.dtype),
+                (stride, stride), ((pad, pad), (pad, pad)),
+                dimension_numbers=DIMSPEC, feature_group_count=c1 - c0))
+            c0 = c1
+        h2 = jnp.concatenate(outs, axis=-1)
+        h2f = h2.astype(sd) * mask_flat.astype(sd)
+        s2 = jnp.sum(h2f, axis=(0, 1, 2))
+        q2 = jnp.sum(h2f * h2f, axis=(0, 1, 2))
+        n2 = h2.shape[0] * h2.shape[1] * h2.shape[2]
+        if self.bn_axis_name is not None:
+            s2 = jax.lax.psum(s2, self.bn_axis_name)
+            q2 = jax.lax.psum(q2, self.bn_axis_name)
+            n2 = n2 * jax.lax.psum(jnp.ones((), sd), self.bn_axis_name)
+        mean2 = s2 / n2
+        var2 = q2 / n2 - mean2 * mean2
+        scale2, offset2 = fold_bn_mask(mean2, var2, mask_flat, BN_EPS)
+        return apply_act(
+            (h2.astype(sd) * scale2 + offset2).astype(h2.dtype), act)
+
     def _dw_middle(self, h_raw, dwk_flat, mask_flat, act, stride):
         """mask -> BN -> act -> depthwise -> mask -> BN -> act over the raw
         expand output, returning the post-activation depthwise features.
@@ -287,6 +348,113 @@ class SuperNetwork:
 
     # -- soft (all-branches) block ----------------------------------------
 
+    @staticmethod
+    def _se_gate_seg(pooled, rk, rb, xk, xb, on, act, out_dtype):
+        """Batched SE gate over a [N, G, W_seg] pooled segment; gate pinned
+        to 1 for non-SE candidates."""
+        z = jnp.einsum("now,ows->nos", pooled, rk.astype(pooled.dtype))
+        z = apply_act(z + rb.astype(pooled.dtype), act)
+        g = jnp.einsum("nos,osw->now", z, xk.astype(pooled.dtype))
+        g = g + xb.astype(pooled.dtype)
+        return jnp.where(on[None, :, None],
+                         jax.nn.sigmoid(g.astype(stat_dtype(g.dtype))),
+                         1.0).astype(out_dtype)
+
+    def _block_soft_ksplit(self, site, p, pad_mask, w, x, training):
+        """_block_soft with channel layout [k3e3 | k3e6 | k5e3 | k5e6] and
+        the depthwise run as a TRUE 3x3 conv over the k3 half and a 5x5 conv
+        over the k5 half (instead of one 5x5 over zero-padded k3 taps) —
+        32% less depthwise work, identical math. Everything else (expand,
+        SE, einsum project, per-branch BN, weighted sum) is the segment-loop
+        generalization of _block_soft."""
+        n_ops, W = pad_mask.shape
+        we3 = W // 2
+        # (op indices, segment width, true tap size); k3 segments first so
+        # each tap size covers one contiguous channel range.
+        segs = [((0, 4), we3, 3), ((1, 5), W, 3),
+                ((2, 6), we3, 5), ((3, 7), W, 5)]
+        order = [o for ops, _, _ in segs for o in ops]
+
+        flat_mask = jnp.concatenate(
+            [pad_mask[np.asarray(ops), :wd].reshape(-1)
+             for ops, wd, _ in segs])
+
+        # expand: one dense 1x1 conv over the segment-concatenated widths
+        ek = p["expand"]["kernel"]                       # [8,1,1,ic,W]
+        eks = []
+        for ops, wd, _ in segs:
+            sub = ek[np.asarray(ops)][..., :wd]                # [2,1,1,ic,wd]
+            eks.append(jnp.transpose(sub, (1, 2, 3, 0, 4)).reshape(
+                1, 1, site.ic, len(ops) * wd))
+        h = self._conv(x, jnp.concatenate(eks, axis=3))
+
+        # depthwise at true tap sizes, one conv per contiguous tap-size half
+        dk = p["depth"]["kernel"]                        # [8,5,5,1,W]
+        parts = []
+        for ops, wd, k in segs:
+            off = (KMAX - k) // 2
+            sub = dk[np.asarray(ops), off:KMAX - off, off:KMAX - off, 0, :wd]
+            parts.append((jnp.transpose(sub, (1, 2, 0, 3)).reshape(
+                k, k, len(ops) * wd), k))
+        # merge adjacent parts with equal tap size into one conv
+        merged = []
+        for dwk, k in parts:
+            if merged and merged[-1][1] == k:
+                merged[-1] = (jnp.concatenate([merged[-1][0], dwk], axis=-1),
+                              k)
+            else:
+                merged.append((dwk, k))
+        h = self._dw_middle_parts(h, merged, flat_mask, site.act,
+                                  site.stride)
+
+        # SE per segment (gate pinned to 1 for non-SE candidates)
+        se = p["se"]
+        se_on = jnp.asarray(self.se_on)
+        nb, hh, ww = h.shape[0], h.shape[1], h.shape[2]
+        gates, c0 = [], 0
+        for ops, wd, _ in segs:
+            c1 = c0 + len(ops) * wd
+            pooled = jnp.mean(h[..., c0:c1], axis=(1, 2)).reshape(
+                nb, len(ops), wd)
+            oi = np.asarray(ops)
+            gates.append(self._se_gate_seg(
+                pooled, se["reduce_kernel"][oi, :wd, :],
+                se["reduce_bias"][oi], se["expand_kernel"][oi, :, :wd],
+                se["expand_bias"][oi, :wd], se_on[oi], site.act,
+                h.dtype).reshape(nb, 1, 1, len(ops) * wd))
+            c0 = c1
+        h = h * jnp.concatenate(gates, axis=-1)
+
+        # per-branch 1x1 project (batched einsum or per-segment grouped
+        # conv, by project_einsum), then per-branch BN
+        pk = p["project"]["kernel"]                      # [8,1,1,W,oc]
+        ys, c0 = [], 0
+        for ops, wd, _ in segs:
+            c1 = c0 + len(ops) * wd
+            if self.project_einsum:
+                hs = h[..., c0:c1].reshape(nb, hh, ww, len(ops), wd)
+                ys.append(jnp.einsum(
+                    "nhwgc,gco->nhwgo", hs,
+                    pk[np.asarray(ops), 0, 0, :wd, :].astype(h.dtype)))
+            else:
+                pks = jnp.transpose(pk[np.asarray(ops), :, :, :wd, :],
+                                    (1, 2, 3, 0, 4)).reshape(
+                    1, 1, wd, len(ops) * site.oc)
+                ys.append(self._conv(h[..., c0:c1], pks,
+                                     groups=len(ops)).reshape(
+                    nb, hh, ww, len(ops), site.oc))
+            c0 = c1
+        y = jnp.concatenate(ys, axis=3).reshape(nb, hh, ww,
+                                                n_ops * site.oc)
+        y, _ = batch_norm(y, {}, {}, affine=False, training=training,
+                          axis_name=self.bn_axis_name)
+        y = y.reshape(nb, hh, ww, n_ops, site.oc)
+        y = jnp.einsum("nhwoc,o->nhwc", y,
+                       w[jnp.asarray(order)].astype(y.dtype))
+        if site.has_residual:
+            y = y + x
+        return y
+
     def _block_soft(self, site, p, pad_mask, w, x, training):
         """All 8 branches fused; returns Σ_o w_o · op_o(x).
 
@@ -303,6 +471,8 @@ class SuperNetwork:
         Channel layout downstream: [e3 ops (0,2,4,6) x We3 | e6 ops
         (1,3,5,7) x W].
         """
+        if self.dw_kernel_split:
+            return self._block_soft_ksplit(site, p, pad_mask, w, x, training)
         n_ops, W = pad_mask.shape
         we3 = W // 2
         half = n_ops // 2
@@ -355,15 +525,31 @@ class SuperNetwork:
         h3 = h3 * gate3.reshape(n, 1, 1, half * we3).astype(h.dtype)
         h6 = h6 * gate6.reshape(n, 1, 1, half * W).astype(h.dtype)
 
-        # project: two grouped 1x1 convs (4 groups each), then per-branch BN
+        # project: per-branch 1x1, then per-branch BN. Two lowerings of the
+        # same math: batched einsum over the op axis (default — one MXU
+        # batched matmul per parity group) or grouped 1x1 convs.
         pk = p["project"]["kernel"]                      # [8,1,1,W,oc]
-        pk3 = jnp.transpose(pk[::2, :, :, :we3, :], (1, 2, 3, 0, 4)).reshape(
-            1, 1, we3, half * site.oc)
-        pk6 = jnp.transpose(pk[1::2], (1, 2, 3, 0, 4)).reshape(
-            1, 1, W, half * site.oc)
-        y3 = self._conv(h3, pk3, groups=half)            # [N,h,w,4*oc]
-        y6 = self._conv(h6, pk6, groups=half)            # [N,h,w,4*oc]
-        y = jnp.concatenate([y3, y6], axis=-1)           # [e3 ops | e6 ops]
+        if self.project_einsum:
+            nb, hh, ww = h.shape[0], h.shape[1], h.shape[2]
+            pk3 = pk[::2, 0, 0, :we3, :]                 # [4, We3, oc]
+            pk6 = pk[1::2, 0, 0, :, :]                   # [4, W, oc]
+            y3 = jnp.einsum("nhwgc,gco->nhwgo",
+                            h3.reshape(nb, hh, ww, half, we3),
+                            pk3.astype(h.dtype))
+            y6 = jnp.einsum("nhwgc,gco->nhwgo",
+                            h6.reshape(nb, hh, ww, half, W),
+                            pk6.astype(h.dtype))
+            y = jnp.concatenate([y3, y6], axis=3).reshape(
+                nb, hh, ww, n_ops * site.oc)             # [e3 ops | e6 ops]
+        else:
+            pk3 = jnp.transpose(pk[::2, :, :, :we3, :],
+                                (1, 2, 3, 0, 4)).reshape(
+                1, 1, we3, half * site.oc)
+            pk6 = jnp.transpose(pk[1::2], (1, 2, 3, 0, 4)).reshape(
+                1, 1, W, half * site.oc)
+            y3 = self._conv(h3, pk3, groups=half)        # [N,h,w,4*oc]
+            y6 = self._conv(h6, pk6, groups=half)        # [N,h,w,4*oc]
+            y = jnp.concatenate([y3, y6], axis=-1)       # [e3 ops | e6 ops]
         y, _ = batch_norm(y, {}, {}, affine=False, training=training,
                           axis_name=self.bn_axis_name)
 
@@ -526,6 +712,27 @@ class SuperNetwork:
     def _maybe_remat(self, fn):
         return jax.checkpoint(fn) if self.remat_blocks else fn
 
+    def _block_masks(self, masks, site):
+        """Per-block slice of the device-mask pytree (hook for subclasses
+        whose mask tree has extra structure)."""
+        return masks[site.stage][site.block]
+
+    def _sampled_block_fn(self, site, training):
+        """Block-level hard-sampled forward fn(p, masks, op_idx, x); the
+        hybrid subclass overrides this to add non-conv candidates."""
+        def fn(p, masks, op_idx, x):
+            return self._block_sampled(site, p,
+                                       self._block_masks(masks, site),
+                                       op_idx, x, training=training)
+        return self._maybe_remat(fn)
+
+    def _soft_block_fn(self, site, training):
+        """Block-level all-candidates soft forward fn(p, masks, w, x)."""
+        def fn(p, masks, w, x):
+            return self._block_soft(site, p, self._block_masks(masks, site),
+                                    w, x, training=training)
+        return self._maybe_remat(fn)
+
     def apply_sampled(self, params, arch_params, masks, x, op_indices, *,
                       training=True):
         """Hard-sampled forward (sampling=True path, model_search.py:58-85 +
@@ -539,10 +746,8 @@ class SuperNetwork:
             h = x
             for d in range(depth):
                 site = self.sites[si + d]
-                fn = self._maybe_remat(functools.partial(
-                    self._block_sampled, site, training=training))
-                h = fn(params[site.stage][site.block],
-                       masks[site.stage][site.block],
+                fn = self._sampled_block_fn(site, training)
+                h = fn(params[site.stage][site.block], masks,
                        op_indices[site.global_idx], h)
                 res_list.append(h)
             w = jax.nn.softmax(arch_params["betas"][stage])
@@ -575,10 +780,8 @@ class SuperNetwork:
                 h = h_stage
                 for d in range(depth):
                     site = self.sites[si + d]
-                    fn = self._maybe_remat(functools.partial(
-                        self._block_sampled, site, training=training))
-                    h = fn(params[site.stage][site.block],
-                           masks[site.stage][site.block],
+                    fn = self._sampled_block_fn(site, training)
+                    h = fn(params[site.stage][site.block], masks,
                            op_indices[site.global_idx], h)
                     res_list.append(h)
                 w = jax.nn.softmax(arch_params["betas"][stage])
@@ -605,10 +808,8 @@ class SuperNetwork:
             for d in range(depth):
                 site = self.sites[si + d]
                 wv = gumbel_weights[site.global_idx]
-                fn = self._maybe_remat(functools.partial(
-                    self._block_soft, site, training=training))
-                h = fn(params[site.stage][site.block],
-                       masks[site.stage][site.block], wv, h)
+                fn = self._soft_block_fn(site, training)
+                h = fn(params[site.stage][site.block], masks, wv, h)
                 cum_lat = cum_lat + jnp.dot(wv, lat_vec[site.global_idx])
                 res_list.append(h)
                 lat_list.append(cum_lat)
@@ -623,7 +824,14 @@ class SuperNetwork:
 
     def device_masks(self, mc_mask_dddict):
         """Reference-format mask registry (true per-op widths,
-        tools/config.py) -> stacked padded [8, W] device arrays per block."""
+        tools/config.py) -> device mask pytree consumed by the apply_*
+        paths. For the classic space this is the stacked padded [8, W]
+        arrays per block; subclasses (hybrid space) may extend the
+        structure."""
+        return self._mb_device_masks(mc_mask_dddict)
+
+    def _mb_device_masks(self, mc_mask_dddict):
+        """Stacked padded [8, W] MBConv mask arrays per block."""
         out = {}
         for site in self.sites:
             W = site.width
@@ -640,7 +848,7 @@ class SuperNetwork:
         masked-out and padded entries, so inactive rows stay exactly frozen
         (reference full-width checkpoint semantics, train_search.py:234-259)
         and the canonical-shape padding stays exactly zero."""
-        dev = self.device_masks(mc_mask_dddict)
+        dev = self._mb_device_masks(mc_mask_dddict)
         site_by = {(s.stage, s.block): s for s in self.sites}
 
         def resolve(path, leaf):

@@ -41,14 +41,30 @@ def timeit(fn, args, x_idx, warmup=3, iters=10):
 
 
 def main():
+    import argparse
+
     from tfnas_tpu.models import search_space as ss
     from tfnas_tpu.models.supernet import SuperNetwork
     from tfnas_tpu.search.train_step import make_search_steps, \
         zeros_like_momentum, adam_init
     from tfnas_tpu.utils.metrics import cross_entropy
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grouped_project", action="store_true",
+                    help="A/B: lower the soft-path project as grouped convs "
+                         "instead of the default batched einsum")
+    ap.add_argument("--use_pallas", action="store_true")
+    ap.add_argument("--dw_kernel_split", action="store_true",
+                    help="A/B: true-tap k3/k5 depthwise split in the soft "
+                         "path")
+    ap.add_argument("--only", type=str, default="",
+                    help="substring filter of rows to run")
+    fl = ap.parse_args()
+
     batch, size, ncls = 32, 224, 100
-    net = SuperNetwork(ncls)
+    net = SuperNetwork(ncls, use_pallas=fl.use_pallas,
+                       project_einsum=not fl.grouped_project,
+                       dw_kernel_split=fl.dw_kernel_split)
     params, arch_params = net.init(jax.random.PRNGKey(0))
     mc_mask = ss.build_mc_mask_dddict()
     masks = net.device_masks(mc_mask)
@@ -64,40 +80,56 @@ def main():
 
     rows = []
 
-    f_sam = jax.jit(lambda p, xx, ii: net.apply_sampled(
-        p, arch_params, masks, xx, ii, training=True))
-    rows.append(("sampled fwd", timeit(f_sam, (params, x, idx), 1)))
+    def want(name):
+        return fl.only in name if fl.only else True
 
-    def sam_loss(p, xx, yy, ii):
-        return cross_entropy(net.apply_sampled(p, arch_params, masks, xx, ii,
-                                               training=True), yy)
-    g_sam = jax.jit(jax.grad(sam_loss))
-    rows.append(("sampled fwd+bwd", timeit(g_sam, (params, x, y, idx), 1)))
+    if want("sampled fwd"):
+        f_sam = jax.jit(lambda p, xx, ii: net.apply_sampled(
+            p, arch_params, masks, xx, ii, training=True))
+        rows.append(("sampled fwd", timeit(f_sam, (params, x, idx), 1)))
 
-    def pair_loss(p, xx, yy):
-        lg, lr = net.apply_sampled_pair(p, arch_params, masks, xx, idx, idx1,
-                                        training=True)
-        return cross_entropy(lg, yy) + cross_entropy(lr, yy)
-    g_pair = jax.jit(jax.grad(pair_loss))
-    rows.append(("bi-sample pair fwd+bwd (shared stem)",
-                 timeit(g_pair, (params, x, y), 1)))
+    if want("sampled fwd+bwd"):
+        def sam_loss(p, xx, yy, ii):
+            return cross_entropy(net.apply_sampled(
+                p, arch_params, masks, xx, ii, training=True), yy)
+        g_sam = jax.jit(jax.grad(sam_loss))
+        rows.append(("sampled fwd+bwd",
+                     timeit(g_sam, (params, x, y, idx), 1)))
 
-    f_soft = jax.jit(lambda p, xx: net.apply_soft(
-        p, arch_params, masks, xx, w, lat_vec, training=True)[0])
-    rows.append(("soft fwd (8 branches)", timeit(f_soft, (params, x), 1)))
+    if want("bi-sample pair fwd+bwd (shared stem)"):
+        def pair_loss(p, xx, yy):
+            lg, lr = net.apply_sampled_pair(p, arch_params, masks, xx, idx,
+                                            idx1, training=True)
+            return cross_entropy(lg, yy) + cross_entropy(lr, yy)
+        g_pair = jax.jit(jax.grad(pair_loss))
+        rows.append(("bi-sample pair fwd+bwd (shared stem)",
+                     timeit(g_pair, (params, x, y), 1)))
 
-    def soft_loss(a, p, xx, yy):
-        logits, lat = net.apply_soft(p, a, masks, xx, w, lat_vec,
-                                     training=True)
-        return cross_entropy(logits, yy) + lat * 0.0
-    g_soft = jax.jit(jax.grad(soft_loss))
-    rows.append(("soft arch grad",
-                 timeit(g_soft, (arch_params, params, x, y), 2)))
+    if want("soft fwd (8 branches)"):
+        f_soft = jax.jit(lambda p, xx: net.apply_soft(
+            p, arch_params, masks, xx, w, lat_vec, training=True)[0])
+        rows.append(("soft fwd (8 branches)",
+                     timeit(f_soft, (params, x), 1)))
+
+    if want("soft arch grad"):
+        def soft_loss(a, p, xx, yy):
+            logits, lat = net.apply_soft(p, a, masks, xx, w, lat_vec,
+                                         training=True)
+            return cross_entropy(logits, yy) + lat * 0.0
+        g_soft = jax.jit(jax.grad(soft_loss))
+        rows.append(("soft arch grad",
+                     timeit(g_soft, (arch_params, params, x, y), 2)))
 
     steps = make_search_steps(net, num_classes=ncls)
     mom = zeros_like_momentum(params)
     opt_a = adam_init(arch_params)
     key = jax.random.PRNGKey(1)
+
+    if fl.only and not (want("weight_step") or want("arch_step")
+                        or want("combined")):
+        for name, ms in rows:
+            print(f"{name:36s} {ms:9.2f} ms")
+        return
 
     def wstep(p, m):
         return steps.weight_step(p, arch_params, m, masks, update_masks,
