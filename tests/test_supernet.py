@@ -88,9 +88,16 @@ def test_sampled_stacked_equals_narrow(block_setup, op_idx):
                                rtol=2e-4, atol=2e-5)
 
 
-def test_soft_stacked_equals_weighted_sum(block_setup):
-    """Fused all-branch soft block == Σ w_o · narrow_op_o(x)."""
-    net, site, p, masks, true_masks, x = block_setup
+@pytest.mark.parametrize("lowering", ["einsum", "grouped", "ksplit-einsum",
+                                      "ksplit-grouped"])
+def test_soft_stacked_equals_weighted_sum(block_setup, lowering):
+    """Fused all-branch soft block == Σ w_o · narrow_op_o(x), for every
+    soft-path lowering (batched-einsum or grouped-conv project, with and
+    without the true-tap k3/k5 depthwise split)."""
+    _, site, p, masks, true_masks, x = block_setup
+    net = SuperNetwork(num_classes=10,
+                       project_einsum="einsum" in lowering,
+                       dw_kernel_split=lowering.startswith("ksplit"))
     w = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(11), (8,)))
     y_fused = net._block_soft(site, p, masks, w, x, training=True)
 
@@ -105,6 +112,35 @@ def test_soft_stacked_equals_weighted_sum(block_setup):
         y_sum = y_o if y_sum is None else y_sum + y_o
     # note: each narrow op already adds the residual internally, and the
     # fused path adds it once after the weighted sum — identical since Σw=1
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_sum),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_soft_ksplit_stride2_equals_weighted_sum():
+    """True-tap k3/k5 split on a stride-2, ic!=oc block: the 3x3/pad-1 and
+    5x5-zero-ring/pad-2 lowerings must sample identical positions."""
+    site = BlockSite("stage2", "block1", 2, 24, 40, 2, "swish")
+    net = SuperNetwork(num_classes=10, dw_kernel_split=True)
+    p = net._init_block(jax.random.PRNGKey(2), site)
+    masks = np.zeros((ss.NUM_OPS, site.width), np.float32)
+    true_masks = []
+    for o in range(ss.NUM_OPS):
+        m = np.zeros(site.ic * ss.OP_MAX_EXPAND[o], np.float32)
+        m[:site.ic * ss.OP_EXPAND[o]] = 1.0
+        true_masks.append(m)
+        masks[o, :m.shape[0]] = m
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 14, 14, site.ic))
+    w = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(11), (8,)))
+    y_fused = net._block_soft(site, p, jnp.asarray(masks), w, x,
+                              training=True)
+    y_sum = None
+    for o in range(ss.NUM_OPS):
+        mc = site.ic * ss.OP_EXPAND[o]
+        narrow = ss.make_op(o, site.ic, mc, site.oc, site.stride, False,
+                            site.act)
+        np_params = narrow_params_from_stacked(p, site, o, true_masks[o])
+        y_o, _ = narrow.apply(np_params, {}, x, training=True)
+        y_sum = w[o] * y_o if y_sum is None else y_sum + w[o] * y_o
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_sum),
                                rtol=2e-3, atol=2e-4)
 
@@ -218,6 +254,74 @@ def test_search_steps_run_and_project(small_search_setup):
     np.testing.assert_array_equal(k0[0][..., dead], k2[0][..., dead])
     # k3 op zero tap ring frozen at zero
     assert np.all(k2[0][0, :, 0, :] == 0.0)
+
+
+@pytest.mark.slow
+def test_scanned_iter_matches_step_loop(small_search_setup):
+    """One compiled lax.scan over K units (2 weight steps + 1 arch step
+    each) == the same schedule driven step-by-step from Python with the
+    same fold_in key discipline.
+
+    Run in float64: at toy shapes the deep stages see 1x1 feature maps
+    where batch-stat BN (n=2) amplifies fp32 fusion-order noise between the
+    two compilations into visible parameter differences; f64 confirms the
+    schedules are identical."""
+    from tfnas_tpu.search.train_step import make_scanned_search_iter
+
+    net, params, arch_params, mc_mask, masks, update_masks = \
+        small_search_setup
+    K, AE, B = 2, 2, 2
+    with jax.enable_x64():
+        f64 = lambda t: jax.tree_util.tree_map(
+            lambda v: jnp.asarray(np.asarray(v), jnp.float64)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v, t)
+        params, arch_params = f64(params), f64(arch_params)
+        masks, update_masks = f64(masks), f64(update_masks)
+        steps = make_search_steps(net, num_classes=10, target_lat=15.0,
+                                  jit=False)
+        run = make_scanned_search_iter(net, num_classes=10, target_lat=15.0)
+
+        rng = np.random.default_rng(0)
+        xw = jnp.asarray(rng.standard_normal((K, AE, B, 32, 32, 3)))
+        yw = jnp.asarray(rng.integers(0, 10, (K, AE, B)).astype(np.int32))
+        xa = jnp.asarray(rng.standard_normal((K, B, 32, 32, 3)))
+        ya = jnp.asarray(rng.integers(0, 10, (K, B)).astype(np.int32))
+        lat_vec = jnp.ones((18, 8), jnp.float64)
+        lr, T = jnp.float64(0.025), jnp.float64(5.0)
+        base = jnp.float64(1.0)
+        key = jax.random.PRNGKey(9)
+
+        # reference: python loop with the documented key discipline
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        a = jax.tree_util.tree_map(jnp.copy, arch_params)
+        mom = zeros_like_momentum(p)
+        opt_a = adam_init(a)
+        i = 0
+        for k in range(K):
+            for e in range(AE):
+                p, mom, _ = steps.weight_step(
+                    p, a, mom, masks, update_masks, xw[k, e], yw[k, e], lr,
+                    jax.random.fold_in(key, i))
+                i += 1
+            a, opt_a, _ = steps.arch_step(p, a, opt_a, masks, xa[k], ya[k],
+                                          lat_vec, base, T,
+                                          jax.random.fold_in(key, i + 100000))
+
+        p2, mom2, a2, opt2, wmet, amet = run(
+            jax.tree_util.tree_map(jnp.copy, params),
+            zeros_like_momentum(params),
+            jax.tree_util.tree_map(jnp.copy, arch_params),
+            adam_init(arch_params), masks, update_masks,
+            xw, yw, xa, ya, lr, T, lat_vec, base, jnp.int32(0), key)
+
+        assert wmet["loss"].shape == (K, AE) and amet["loss_a"].shape == (K,)
+        np.testing.assert_allclose(
+            np.asarray(a2["log_alphas"]), np.asarray(a["log_alphas"]),
+            rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(p2["stage1"]["block1"]["depth"]["kernel"]),
+            np.asarray(p["stage1"]["block1"]["depth"]["kernel"]),
+            rtol=1e-6, atol=1e-8)
 
 
 def test_validation_step(small_search_setup):

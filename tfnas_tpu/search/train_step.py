@@ -27,8 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.metrics import accuracy, cross_entropy
-from .bisample import (gumbel_softmax_weights, sample_gumbel_indices,
-                       sample_random_excluding)
+from .bisample import (gumbel_softmax_weights, project_log_softmax,
+                       sample_gumbel_indices, sample_random_excluding)
 from ..models import search_space as ss
 
 
@@ -100,8 +100,16 @@ class SearchStepFns(NamedTuple):
 
 def make_search_steps(net, *, num_classes, w_mom=0.9, w_wd=1e-5,
                       a_lr=0.01, a_beta1=0.5, a_beta2=0.999, a_wd=5e-4,
-                      grad_clip=5.0, lambda_lat=0.1, target_lat=15.0):
-    """Build the jitted step functions for SuperNetwork `net`."""
+                      grad_clip=5.0, lambda_lat=0.1, target_lat=15.0,
+                      jit=True, valid_mask=None):
+    """Build the (by default jitted) step functions for SuperNetwork `net`.
+
+    jit=False returns the raw step bodies for composition into larger
+    compiled programs (the scanned macro-iteration below).
+
+    valid_mask: optional 0/1 float [TOTAL_BLOCKS, NUM_OPS] marking which
+    candidate slots exist per block (hybrid conv/ViT space); None = the
+    classic homogeneous 8-op space."""
 
     def _weight_loss_bisample(params, arch_params, masks, x, y, idx_g, idx_r):
         # NOTE: the grouped single-pass variant (net.apply_multi_sampled)
@@ -119,11 +127,11 @@ def make_search_steps(net, *, num_classes, w_mom=0.9, w_wd=1e-5,
                                      training=True)
         return cross_entropy(logits_g, y), logits_g
 
-    @functools.partial(jax.jit, donate_argnums=(0, 2))
     def warmup_step(params, arch_params, mom, masks, update_masks, x, y,
                     lr, key):
         """train_wo_arch inner step (train_search.py:330-349)."""
-        idx_g = sample_gumbel_indices(key, arch_params["log_alphas"])
+        idx_g = sample_gumbel_indices(key, arch_params["log_alphas"],
+                                      valid_mask)
         (loss, logits), grads = jax.value_and_grad(
             _weight_loss_single, has_aux=True)(
                 params, arch_params, masks, x, y, idx_g)
@@ -133,13 +141,14 @@ def make_search_steps(net, *, num_classes, w_mom=0.9, w_wd=1e-5,
         top1, top5 = accuracy(logits, y, topk=(1, 5))
         return params, mom, {"loss": loss, "top1": top1, "top5": top5}
 
-    @functools.partial(jax.jit, donate_argnums=(0, 2))
     def weight_step(params, arch_params, mom, masks, update_masks, x, y,
                     lr, key):
         """Bi-sampling weight step (train_search.py:370-391)."""
         kg, kr = jax.random.split(key)
-        idx_g = sample_gumbel_indices(kg, arch_params["log_alphas"])
-        idx_r = sample_random_excluding(kr, idx_g, ss.NUM_OPS)
+        idx_g = sample_gumbel_indices(kg, arch_params["log_alphas"],
+                                      valid_mask)
+        idx_r = sample_random_excluding(
+            kr, idx_g, arch_params["log_alphas"].shape[-1], valid_mask)
         (loss, logits), grads = jax.value_and_grad(
             _weight_loss_bisample, has_aux=True)(
                 params, arch_params, masks, x, y, idx_g, idx_r)
@@ -149,12 +158,12 @@ def make_search_steps(net, *, num_classes, w_mom=0.9, w_wd=1e-5,
         top1, top5 = accuracy(logits, y, topk=(1, 5))
         return params, mom, {"loss": loss, "top1": top1, "top5": top5}
 
-    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def arch_step(params, arch_params, opt_a, masks, x, y, lat_vec,
                   base_lat, temperature, key):
         """Soft arch step (train_search.py:393-422)."""
         def loss_fn(a):
-            w = gumbel_softmax_weights(key, a["log_alphas"], temperature)
+            w = gumbel_softmax_weights(key, a["log_alphas"], temperature,
+                                       valid_mask)
             logits, lat = net.apply_soft(params, a, masks, x, w, lat_vec,
                                          training=True)
             lat = lat + base_lat
@@ -170,25 +179,80 @@ def make_search_steps(net, *, num_classes, w_mom=0.9, w_wd=1e-5,
         # Projection: every arch parameter -> log-probabilities
         # (train_search.py:421-422 applies log_softmax to log_alphas AND betas)
         arch_params = {
-            "log_alphas": jax.nn.log_softmax(arch_params["log_alphas"], -1),
+            "log_alphas": project_log_softmax(arch_params["log_alphas"],
+                                              valid_mask),
             "betas": {k: jax.nn.log_softmax(v, -1)
                       for k, v in arch_params["betas"].items()},
         }
         return arch_params, opt_a, {"loss_a": loss_a, "loss_l": loss_l,
                                     "lat": lat}
 
-    @jax.jit
     def val_step(params, arch_params, masks, x, y, key):
         """Sampled validation (train_search.py:435-462; BN stays in
         batch-stat mode — the reference validates in .train())."""
-        idx_g = sample_gumbel_indices(key, arch_params["log_alphas"])
+        idx_g = sample_gumbel_indices(key, arch_params["log_alphas"],
+                                      valid_mask)
         logits = net.apply_sampled(params, arch_params, masks, x, idx_g,
                                    training=True)
         loss = cross_entropy(logits, y)
         top1, top5 = accuracy(logits, y, topk=(1, 5))
         return {"loss": loss, "top1": top1, "top5": top5}
 
-    return SearchStepFns(warmup_step, weight_step, arch_step, val_step)
+    if not jit:
+        return SearchStepFns(warmup_step, weight_step, arch_step, val_step)
+    return SearchStepFns(
+        jax.jit(warmup_step, donate_argnums=(0, 2)),
+        jax.jit(weight_step, donate_argnums=(0, 2)),
+        jax.jit(arch_step, donate_argnums=(1, 2)),
+        jax.jit(val_step))
+
+
+def make_scanned_search_iter(net, *, num_classes, arch_every=2, **kw):
+    """The bi-level inner loop as ONE compiled lax.scan (BASELINE.json north
+    star): each scan unit runs `arch_every` bi-sampling weight steps followed
+    by one soft arch step — exactly the reference schedule (an arch step on a
+    val batch every 2nd weight step, train_search.py:370-432) — and K units
+    run per dispatch, amortizing host->relay dispatch latency.
+
+    Returned fn signature:
+      run(params, mom, arch_params, opt_a, masks, update_masks,
+          xw [K, arch_every, B, H, W, C], yw [K, arch_every, B],
+          xa [K, B, H, W, C], ya [K, B],
+          lr, T, lat_vec, base_lat, step0 (int32), key)
+      -> (params, mom, arch_params, opt_a, wmetrics [K, arch_every],
+          ametrics [K])
+
+    Semantics are identical to calling weight_step/arch_step in a Python
+    loop with keys fold_in(key, step0 + global step counter)."""
+    raw = make_search_steps(net, num_classes=num_classes, jit=False, **kw)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def run(params, mom, arch_params, opt_a, masks, update_masks,
+            xw, yw, xa, ya, lr, T, lat_vec, base_lat, step0, key):
+        def unit(carry, inp):
+            params, mom, arch_params, opt_a, i = carry
+            xw_u, yw_u, xa_u, ya_u = inp
+
+            def wbody(c, xy):
+                p, m, j = c
+                p, m, met = raw.weight_step(
+                    p, arch_params, m, masks, update_masks, xy[0], xy[1],
+                    lr, jax.random.fold_in(key, j))
+                return (p, m, j + 1), met
+
+            (params, mom, i), wmet = jax.lax.scan(
+                wbody, (params, mom, i), (xw_u, yw_u))
+            arch_params, opt_a, amet = raw.arch_step(
+                params, arch_params, opt_a, masks, xa_u, ya_u, lat_vec,
+                base_lat, T, jax.random.fold_in(key, i + 100000))
+            return (params, mom, arch_params, opt_a, i), (wmet, amet)
+
+        (params, mom, arch_params, opt_a, _), (wmet, amet) = jax.lax.scan(
+            unit, (params, mom, arch_params, opt_a, step0),
+            (xw, yw, xa, ya))
+        return params, mom, arch_params, opt_a, wmet, amet
+
+    return run
 
 
 def zeros_like_momentum(params):
