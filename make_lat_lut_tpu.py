@@ -53,6 +53,20 @@ def _site_list():
     return sites
 
 
+def _vit_site_list():
+    """Unique (res, cin, cout, stride, act) sites offering the hybrid ViT
+    candidate (hybrid_space.VIT_STAGES)."""
+    from tfnas_tpu.models import hybrid_space as hs
+    sites, seen = [], set()
+    for g, (stage, block, (ic, oc, stride, act)) in hs.vit_sites().items():
+        b = int(block[len("block"):]) - 1
+        t = (ss.BLOCK_INPUT_RES[stage][b], ic, oc, stride, act)
+        if t not in seen:
+            seen.add(t)
+            sites.append(t)
+    return sites
+
+
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
@@ -103,7 +117,29 @@ def analytic_base_ms(batch=32, peak_flops=PEAK_FLOPS, peak_bw=PEAK_BW):
     return total * 1000.0
 
 
-def build_analytic_lut(batch=32, scale=1.0):
+def analytic_vit_ms(res, cin, cout, stride, mc, batch=32, dtype_bytes=2,
+                    peak_flops=PEAK_FLOPS, peak_bw=PEAK_BW,
+                    overhead=LAUNCH_OVERHEAD_S):
+    """Roofline estimate for the hybrid ViT candidate (ops/attention.py):
+    patch-merge proj + QKV/out projections + attention + MLP."""
+    out_res = res // stride if stride > 1 else res
+    t = out_res * out_res
+    c_q = _round_up(cout, 128)
+    mc_q = _round_up(mc, 128)
+    flops = 0.0
+    if stride > 1 or cin != cout:
+        flops += 2 * t * _round_up(cin, 128) * c_q
+    flops += 2 * t * c_q * 3 * c_q            # qkv
+    flops += 2 * 2 * t * t * c_q              # qk^T + attn*v
+    flops += 2 * t * c_q * c_q                # out proj
+    flops += 2 * t * c_q * mc_q * 2           # mlp in + out
+    flops *= batch
+    bytes_ = batch * t * (cin + 6 * cout + 2 * mc) * dtype_bytes
+    bytes_ += (cin * cout + 4 * cout * cout + 2 * cout * mc) * dtype_bytes
+    return (max(flops / peak_flops, bytes_ / peak_bw) + overhead) * 1000.0
+
+
+def build_analytic_lut(batch=32, scale=1.0, space="mbconv"):
     lut = OrderedDict()
     lut["base"] = analytic_base_ms(batch) * scale
     for res, cin, cout, stride, act in _site_list():
@@ -116,6 +152,15 @@ def build_analytic_lut(batch=32, scale=1.0):
                     d[mc] = analytic_block_ms(res, cin, se, cout, k, stride,
                                               mc, batch) * scale
                 lut[key] = d
+    if space == "hybrid":
+        from tfnas_tpu.models import hybrid_space as hs
+        for res, cin, cout, stride, act in _vit_site_list():
+            key = hs.vit_lut_key(res, cin, cout, stride, act)
+            d = OrderedDict()
+            for mc in range(1, cout * hs.VIT_MAX_EXPAND + 1):
+                d[mc] = analytic_vit_ms(res, cin, cout, stride, mc,
+                                        batch) * scale
+            lut[key] = d
     return lut
 
 
@@ -176,9 +221,27 @@ def measure_block_ms(res, cin, se, cout, k, stride, act, mc, batch,
     return measure_latency_in_ms(fwd, (params, state, x), warmup, iters)
 
 
+def measure_vit_ms(res, cin, cout, stride, act, mc, batch, warmup, iters):
+    import jax
+    import jax.numpy as jnp
+    from tfnas_tpu.cost.measure import measure_latency_in_ms
+    from tfnas_tpu.models import hybrid_space as hs
+
+    block = hs.make_vit_op((cin, cout, stride, act), mc, affine=True)
+    params, state = block.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch, res, res, cin), np.float32), jnp.bfloat16)
+
+    def fwd(p, s, xx):
+        y, _ = block.apply(p, s, xx, training=False)
+        return y
+
+    return measure_latency_in_ms(fwd, (params, state, x), warmup, iters)
+
+
 def build_measured_lut(batch=32, stride_points=16, warmup=10, iters=50,
                        log=print, max_keys=0, resume_lut=None,
-                       checkpoint=None):
+                       checkpoint=None, space="mbconv"):
     """Measure a grid of mc points per key and linearly interpolate to every
     integer (the reference's convert_latency_lookup approach).
 
@@ -253,6 +316,31 @@ def build_measured_lut(batch=32, stride_points=16, warmup=10, iters=50,
                 log(f"{key}: [{lats[0]:.4f} .. {lats[-1]:.4f}] ms "
                     f"({len(pts)} points)")
                 checkpoint(lut)
+
+    if space == "hybrid":
+        from tfnas_tpu.models import hybrid_space as hs
+        for res, cin, cout, stride, act in _vit_site_list():
+            if max_keys and done >= max_keys:
+                return lut
+            done += 1
+            key = hs.vit_lut_key(res, cin, cout, stride, act)
+            if key in lut:
+                log(f"{key}: resumed")
+                continue
+            max_mc = cout * hs.VIT_MAX_EXPAND
+            pts = sorted(set(
+                [1, max_mc]
+                + list(range(0, max_mc + 1,
+                             max(max_mc // stride_points, 1)))[1:]))
+            lats = [measure_vit_ms(res, cin, cout, stride, act, mc, batch,
+                                   warmup, iters) for mc in pts]
+            xs = np.arange(1, max_mc + 1)
+            interp = np.interp(xs, pts, lats)
+            lut[key] = OrderedDict(
+                (int(mc), float(v)) for mc, v in zip(xs, interp))
+            log(f"{key}: [{lats[0]:.4f} .. {lats[-1]:.4f}] ms "
+                f"({len(pts)} points)")
+            checkpoint(lut)
     return lut
 
 
@@ -274,6 +362,10 @@ def main():
     parser.add_argument('--resume', action='store_true',
                         help='measure mode: keep keys already in --output '
                              'and continue from the first missing one')
+    parser.add_argument('--space', choices=['mbconv', 'hybrid'],
+                        default='mbconv',
+                        help='hybrid appends ViT-candidate keys '
+                             '(hybrid_space.vit_lut_key) to the table')
     parser.add_argument('--no_isotonic', dest='isotonic',
                         action='store_false', default=True,
                         help='measure mode: skip the monotone (PAV) fit of '
@@ -290,7 +382,7 @@ def main():
         os.replace(tmp, args.output)
 
     if args.mode == 'analytic':
-        lut = build_analytic_lut(args.batch_size, args.scale)
+        lut = build_analytic_lut(args.batch_size, args.scale, args.space)
     else:
         resume_lut = None
         if args.resume and os.path.exists(args.output):
@@ -302,7 +394,8 @@ def main():
                                  args.warmup, args.iters,
                                  max_keys=args.max_keys,
                                  resume_lut=resume_lut,
-                                 checkpoint=write_atomic)
+                                 checkpoint=write_atomic,
+                                 space=args.space)
         if args.isotonic:
             lut = apply_isotonic(lut)
 

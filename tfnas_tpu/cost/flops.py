@@ -75,6 +75,22 @@ def layer_flops(layer, in_res):
         f += _conv_flops(1, mc, layer.out_channels, layer.groups,
                          out_res, out_res, layer.bias)
         return f, out_res
+    if getattr(layer, "name", "") == "ViTBlock":
+        # hybrid-space candidate (ops/attention.py): patch-merge proj +
+        # pre-norm MHSA + MLP, multiply-accumulates counted once like the
+        # reference conv/fc hooks.
+        c = layer.out_channels
+        out_res = in_res // layer.stride if layer.stride > 1 else in_res
+        t = out_res * out_res
+        f = 0.0
+        if layer.has_patch_merge:
+            f += t * (layer.in_channels * c + c)         # 1x1 proj + bias
+        f += t * (3 * c * c + 3 * c)                     # QKV
+        f += 2.0 * t * t * c                             # qk^T and attn*v
+        f += t * (c * c + c)                             # attn out proj
+        f += t * (c * layer.mid_channels + layer.mid_channels)   # mlp in
+        f += t * (layer.mid_channels * c + c)            # mlp out
+        return f, out_res
     raise TypeError(f"unknown layer type: {type(layer)}")
 
 

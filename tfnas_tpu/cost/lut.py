@@ -42,7 +42,8 @@ def save_lat_lookup(lut, path):
         pickle.dump(lut, f)
 
 
-def lat_vectors_for_mc(lat_lookup, mc_num_dddict):
+def lat_vectors_for_mc(lat_lookup, mc_num_dddict, key_dddict=None,
+                       num_ops=None):
     """Dense per-block latency vectors at the CURRENT mid-channel choices.
 
     Returns float32 [TOTAL_BLOCKS, NUM_OPS]; entry (b, o) is
@@ -50,13 +51,21 @@ def lat_vectors_for_mc(lat_lookup, mc_num_dddict):
     soft path contracts with Gumbel weights (model_search.py:88-90).
     Recomputed per epoch (mc only changes at epoch boundaries), fed to the
     jitted step as an array.
+
+    key_dddict/num_ops: override for extended spaces (hybrid conv/ViT —
+    candidate slots a block does not offer stay 0, and their Gumbel weight
+    is exactly 0 via the validity mask).
     """
-    out = np.zeros((ss.TOTAL_BLOCKS, ss.NUM_OPS), np.float32)
+    if key_dddict is None:
+        key_dddict = ss.lat_lookup_key_dddict
+    if num_ops is None:
+        num_ops = ss.NUM_OPS
+    out = np.zeros((ss.TOTAL_BLOCKS, num_ops), np.float32)
     b = 0
     for stage in ss.STAGE_NAMES:
         for block in ss.block_names(stage):
-            for op_idx in range(ss.NUM_OPS):
-                key = ss.lat_lookup_key_dddict[stage][block][op_idx]
+            for op_idx in key_dddict[stage][block]:
+                key = key_dddict[stage][block][op_idx]
                 mc = mc_num_dddict[stage][block][op_idx]
                 out[b, op_idx] = lat_lookup[key][mc]
             b += 1

@@ -51,9 +51,16 @@ class EvalNetwork:
             for i, block in enumerate(parsed_arch.get(stage, {})):
                 op_idx = parsed_arch[stage][block]
                 mc = mc_num_dddict[stage][block][op_idx]
-                blocks.append(ss.make_op(op_idx, spec["ics"][i], mc,
-                                         spec["ocs"][i], spec["ss"][i],
-                                         True, spec["acts"][i]))
+                if op_idx >= ss.NUM_OPS:
+                    # hybrid-space ViT candidate (hybrid_space.VIT_OP_IDX)
+                    from . import hybrid_space as hs
+                    blocks.append(hs.make_vit_op(
+                        (spec["ics"][i], spec["ocs"][i], spec["ss"][i],
+                         spec["acts"][i]), mc, affine=True))
+                else:
+                    blocks.append(ss.make_op(op_idx, spec["ics"][i], mc,
+                                             spec["ocs"][i], spec["ss"][i],
+                                             True, spec["acts"][i]))
             stages[stage] = blocks
         return cls(
             first_stem=ConvLayer(affine=True, **ss.STEM_CONV),
@@ -110,7 +117,7 @@ class EvalNetwork:
 
     @staticmethod
     def _with_dc(block, rate):
-        if isinstance(block, MBInvertedResBlock):
+        if isinstance(block, MBInvertedResBlock) or block.name == "ViTBlock":
             return dataclasses.replace(block, drop_connect_rate=rate)
         return block
 
@@ -201,10 +208,16 @@ class EvalNetwork:
         lat = lat_lookup["base"]
         res = input_size // self.first_stem.stride
         for _, _, block in self.iter_blocks():
-            key = "{}_{}_{}_{}_{}_k{}_s{}_{}".format(
-                block.name, res, block.in_channels, block.se_channels,
-                block.out_channels, block.kernel_size, block.stride,
-                block.act_func)
+            if block.name == "ViTBlock":
+                from . import hybrid_space as hs
+                key = hs.vit_lut_key(res, block.in_channels,
+                                     block.out_channels, block.stride,
+                                     block.act_func)
+            else:
+                key = "{}_{}_{}_{}_{}_k{}_s{}_{}".format(
+                    block.name, res, block.in_channels, block.se_channels,
+                    block.out_channels, block.kernel_size, block.stride,
+                    block.act_func)
             lat += lat_lookup[key][block.mid_channels]
             res = res // block.stride if block.stride > 1 else res
         return lat

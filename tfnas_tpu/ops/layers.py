@@ -449,6 +449,11 @@ class MBInvertedResBlock:
 
 # --- config (de)serialization -------------------------------------------
 
+def _vit_block():
+    from .attention import ViTBlock
+    return ViTBlock
+
+
 _NAME2LAYER = {
     "ConvLayer": ConvLayer,
     "IdentityLayer": IdentityLayer,
@@ -466,5 +471,8 @@ def set_layer_from_config(layer_config):
     if layer_config is None:
         return None
     cfg = dict(layer_config)
-    layer_cls = _NAME2LAYER[cfg.pop("name")]
+    name = cfg.pop("name")
+    if name == "ViTBlock":  # hybrid-space extension (ops/attention.py)
+        return _vit_block()(**cfg)
+    layer_cls = _NAME2LAYER[name]
     return layer_cls(**cfg)

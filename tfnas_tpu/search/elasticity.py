@@ -135,13 +135,20 @@ def rewrite_masks_by_l1(parsed_arch, mc_num_dddict, mc_mask_dddict, params):
             mc_num = mc_num_dddict[stage][block][op_idx]
             if mc_num != int(round(float(mask.sum()))):
                 bp = params[stage][block]
-                if "depth" in bp:  # stacked supernet layout [8, 5, 5, 1, W]
+                if op_idx >= ss.NUM_OPS:
+                    # hybrid ViT candidate: rank MLP hidden units by the L1
+                    # norm of their mlp_in columns (the analog of the
+                    # depthwise per-channel norm rule)
+                    kernel = np.asarray(bp["vit"]["mlp_in"]["kernel"])
+                    l1 = np.abs(kernel).sum(axis=0)
+                elif "depth" in bp:  # stacked layout [8, 5, 5, 1, W]
                     kernel = np.asarray(bp["depth"]["kernel"])[op_idx]
                     kernel = kernel[..., :mask.shape[0]]  # true op width
+                    l1 = np.abs(kernel).sum(axis=(0, 1, 2))
                 else:  # per-op layout
                     kernel = np.asarray(
                         bp[f"op{op_idx}"]["depth_conv"]["conv"]["kernel"])
-                l1 = np.abs(kernel).sum(axis=(0, 1, 2))
+                    l1 = np.abs(kernel).sum(axis=(0, 1, 2))
                 order_desc = np.argsort(l1)[::-1][:mc_num]
                 new_mask = np.zeros_like(mask)
                 new_mask[order_desc] = 1.0

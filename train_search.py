@@ -74,6 +74,11 @@ parser.add_argument('--target_lat', type=float, default=15.0)
 # TPU-native extras
 parser.add_argument('--bf16', action='store_true', default=True)
 parser.add_argument('--no_bf16', dest='bf16', action='store_false')
+parser.add_argument('--space', type=str, default='mbconv',
+                    choices=['mbconv', 'hybrid'],
+                    help='candidate space: the 8-op reference MBConv space '
+                         'or the 9-op hybrid conv/ViT space (attention '
+                         'candidates at stages 4-6)')
 parser.add_argument('--synthetic', action='store_true',
                     help='use synthetic data instead of ImageNet lists')
 parser.add_argument('--resume', type=str, default='',
@@ -91,15 +96,35 @@ def main():
     logging.info("args = %s", args)
     logging.info("jax devices: %s", jax.devices())
 
+    hybrid = args.space == 'hybrid'
+    if hybrid:
+        from tfnas_tpu.models import hybrid_space as hs
+        from tfnas_tpu.models.supernet_hybrid import HybridSuperNetwork
+        mc_mask_dddict = hs.build_mc_mask_dddict()
+        key_dddict = hs.build_lat_lookup_key_dddict()
+        space_num_ops = hs.NUM_OPS
+    else:
+        mc_mask_dddict = ss.build_mc_mask_dddict()
+        key_dddict = ss.lat_lookup_key_dddict
+        space_num_ops = ss.NUM_OPS
     lat_lookup = load_lat_lookup(args.lookup_path)
-    mc_mask_dddict = ss.build_mc_mask_dddict()
+    if hybrid:
+        missing = {key_dddict[st][b][hs.VIT_OP_IDX]
+                   for st in key_dddict for b in key_dddict[st]
+                   if hs.VIT_OP_IDX in key_dddict[st][b]} - set(lat_lookup)
+        if missing:
+            raise SystemExit(
+                f"--space hybrid needs ViT entries in the LUT; missing "
+                f"{sorted(missing)[:3]}... — regenerate with "
+                f"make_lat_lut_tpu.py --space hybrid")
     mc_maxnum_dddict = get_mc_num_dddict(mc_mask_dddict, is_max=True)
 
     # log the achievable latency range of this table so target_lat can be
     # chosen sensibly (tables differ in scale: measured-TPU entries are
     # microseconds-scale vs the reference GPU table's milliseconds)
     lv = np.asarray(lat_vectors_for_mc(
-        lat_lookup, get_mc_num_dddict(mc_mask_dddict, is_max=True)))
+        lat_lookup, get_mc_num_dddict(mc_mask_dddict, is_max=True),
+        key_dddict, space_num_ops))
     logging.info(
         "LUT '%s': base %.4f ms; full-depth max-width arch in "
         "[%.4f, %.4f] ms depending on ops; --target_lat %.4f",
@@ -107,7 +132,8 @@ def main():
         lat_lookup["base"] + lv.min(1).sum(),
         lat_lookup["base"] + lv.max(1).sum(), args.target_lat)
 
-    net = SuperNetwork(args.num_classes)
+    net = (HybridSuperNetwork(args.num_classes) if hybrid
+           else SuperNetwork(args.num_classes))
     key = jax.random.PRNGKey(args.seed)
     key, init_key = jax.random.split(key)
     params, arch_params = net.init(init_key)
@@ -131,7 +157,8 @@ def main():
         net, num_classes=args.num_classes, w_mom=args.w_mom, w_wd=args.w_wd,
         a_lr=args.a_lr, a_beta1=args.a_beta1, a_beta2=args.a_beta2,
         a_wd=args.a_wd, grad_clip=args.grad_clip,
-        lambda_lat=args.lambda_lat, target_lat=args.target_lat)
+        lambda_lat=args.lambda_lat, target_lat=args.target_lat,
+        valid_mask=net.valid_mask if hybrid else None)
     lr_list = cosine_lr_list(args.w_lr, args.epochs)
 
     # save initial checkpoint (searched_model_00, train_search.py:98-103)
@@ -189,7 +216,8 @@ def main():
         mc_num_dddict = get_mc_num_dddict(mc_mask_dddict)
         masks = net.device_masks(mc_mask_dddict)
         update_masks = net.update_masks(params, mc_mask_dddict)
-        lat_vec = jnp.asarray(lat_vectors_for_mc(lat_lookup, mc_num_dddict))
+        lat_vec = jnp.asarray(lat_vectors_for_mc(
+            lat_lookup, mc_num_dddict, key_dddict, space_num_ops))
         base_lat = jnp.float32(lat_lookup["base"])
 
         # fresh optimizers every epoch (train_search.py:196-206)
@@ -295,7 +323,7 @@ def main():
             mc_num_dddict = get_mc_num_dddict(mc_mask_dddict)
             mc_num_dddict, before_lat, after_lat = shrink_or_expand(
                 parsed_arch, mc_num_dddict, mc_maxnum_dddict,
-                ss.lat_lookup_key_dddict, lat_lookup, args.target_lat,
+                key_dddict, lat_lookup, args.target_lat,
                 log=logging.info)
             logging.info(
                 'Before, the current lat: %.4f, the target lat: %.4f',
