@@ -256,72 +256,99 @@ def test_search_steps_run_and_project(small_search_setup):
     assert np.all(k2[0][0, :, 0, :] == 0.0)
 
 
+class _ToySearchNet:
+    """Minimal stand-in exposing the SuperNetwork apply_* interface.
+
+    The scanned-iteration test verifies the SCHEDULE — batch threading, key
+    discipline, optimizer state chaining, projection — not the supernet
+    math (covered by the equivalence tests above). A toy net keeps both
+    compilations trivial (the full f64 supernet scan program takes >90 min
+    to compile on one CPU core)."""
+
+    def apply_sampled(self, params, arch_params, masks, x, idx, *,
+                      training=True):
+        scale = 1.0 + 0.01 * jnp.sum(idx.astype(jnp.float32))
+        return x.reshape(x.shape[0], -1) @ params["w"] * scale
+
+    def apply_sampled_pair(self, params, arch_params, masks, x, ia, ib, *,
+                           training=True):
+        return (self.apply_sampled(params, arch_params, masks, x, ia,
+                                   training=training),
+                self.apply_sampled(params, arch_params, masks, x, ib,
+                                   training=training))
+
+    def apply_soft(self, params, arch_params, masks, x, w, lat_vec, *,
+                   training=True):
+        logits = x.reshape(x.shape[0], -1) @ params["w"]
+        lat = jnp.sum(w * lat_vec)
+        beta_mix = sum(jax.nn.softmax(b).sum()
+                       for b in arch_params["betas"].values())
+        return logits * (1.0 + 0.01 * lat + 0.001 * beta_mix), lat
+
+
 @pytest.mark.slow
-def test_scanned_iter_matches_step_loop(small_search_setup):
+def test_scanned_iter_matches_step_loop():
     """One compiled lax.scan over K units (2 weight steps + 1 arch step
     each) == the same schedule driven step-by-step from Python with the
-    same fold_in key discipline.
-
-    Run in float64: at toy shapes the deep stages see 1x1 feature maps
-    where batch-stat BN (n=2) amplifies fp32 fusion-order noise between the
-    two compilations into visible parameter differences; f64 confirms the
-    schedules are identical."""
+    same fold_in key discipline (toy net, see _ToySearchNet)."""
     from tfnas_tpu.search.train_step import make_scanned_search_iter
 
-    net, params, arch_params, mc_mask, masks, update_masks = \
-        small_search_setup
-    K, AE, B = 2, 2, 2
-    with jax.enable_x64():
-        f64 = lambda t: jax.tree_util.tree_map(
-            lambda v: jnp.asarray(np.asarray(v), jnp.float64)
-            if jnp.issubdtype(v.dtype, jnp.floating) else v, t)
-        params, arch_params = f64(params), f64(arch_params)
-        masks, update_masks = f64(masks), f64(update_masks)
-        steps = make_search_steps(net, num_classes=10, target_lat=15.0,
-                                  jit=False)
-        run = make_scanned_search_iter(net, num_classes=10, target_lat=15.0)
+    net = _ToySearchNet()
+    D, C = 48, 10
+    params = {"w": jnp.asarray(
+        np.random.default_rng(1).standard_normal((D, C), np.float32))}
+    arch_params = {
+        "log_alphas": jnp.full((18, 8), -np.log(8.0), jnp.float32),
+        "betas": {s: jnp.zeros((d,), jnp.float32)
+                  for s, d in zip(ss.STAGE_NAMES, [2, 3, 4, 4, 4, 1])},
+    }
+    masks = {}
+    update_masks = {"w": jnp.ones((), jnp.float32)}
 
-        rng = np.random.default_rng(0)
-        xw = jnp.asarray(rng.standard_normal((K, AE, B, 32, 32, 3)))
-        yw = jnp.asarray(rng.integers(0, 10, (K, AE, B)).astype(np.int32))
-        xa = jnp.asarray(rng.standard_normal((K, B, 32, 32, 3)))
-        ya = jnp.asarray(rng.integers(0, 10, (K, B)).astype(np.int32))
-        lat_vec = jnp.ones((18, 8), jnp.float64)
-        lr, T = jnp.float64(0.025), jnp.float64(5.0)
-        base = jnp.float64(1.0)
-        key = jax.random.PRNGKey(9)
+    K, AE, B = 3, 2, 2
+    steps = make_search_steps(net, num_classes=C, target_lat=15.0,
+                              jit=False)
+    run = make_scanned_search_iter(net, num_classes=C, target_lat=15.0)
 
-        # reference: python loop with the documented key discipline
-        p = jax.tree_util.tree_map(jnp.copy, params)
-        a = jax.tree_util.tree_map(jnp.copy, arch_params)
-        mom = zeros_like_momentum(p)
-        opt_a = adam_init(a)
-        i = 0
-        for k in range(K):
-            for e in range(AE):
-                p, mom, _ = steps.weight_step(
-                    p, a, mom, masks, update_masks, xw[k, e], yw[k, e], lr,
-                    jax.random.fold_in(key, i))
-                i += 1
-            a, opt_a, _ = steps.arch_step(p, a, opt_a, masks, xa[k], ya[k],
-                                          lat_vec, base, T,
-                                          jax.random.fold_in(key, i + 100000))
+    rng = np.random.default_rng(0)
+    xw = jnp.asarray(rng.standard_normal((K, AE, B, 4, 4, 3), np.float32))
+    yw = jnp.asarray(rng.integers(0, C, (K, AE, B)).astype(np.int32))
+    xa = jnp.asarray(rng.standard_normal((K, B, 4, 4, 3), np.float32))
+    ya = jnp.asarray(rng.integers(0, C, (K, B)).astype(np.int32))
+    lat_vec = jnp.ones((18, 8), jnp.float32)
+    lr, T = jnp.float32(0.025), jnp.float32(5.0)
+    base = jnp.float32(1.0)
+    key = jax.random.PRNGKey(9)
 
-        p2, mom2, a2, opt2, wmet, amet = run(
-            jax.tree_util.tree_map(jnp.copy, params),
-            zeros_like_momentum(params),
-            jax.tree_util.tree_map(jnp.copy, arch_params),
-            adam_init(arch_params), masks, update_masks,
-            xw, yw, xa, ya, lr, T, lat_vec, base, jnp.int32(0), key)
+    # reference: python loop with the documented key discipline
+    p = jax.tree_util.tree_map(jnp.copy, params)
+    a = jax.tree_util.tree_map(jnp.copy, arch_params)
+    mom = zeros_like_momentum(p)
+    opt_a = adam_init(a)
+    i = 0
+    for k in range(K):
+        for e in range(AE):
+            p, mom, _ = steps.weight_step(p, a, mom, masks, update_masks,
+                                          xw[k, e], yw[k, e], lr,
+                                          jax.random.fold_in(key, i))
+            i += 1
+        a, opt_a, _ = steps.arch_step(p, a, opt_a, masks, xa[k], ya[k],
+                                      lat_vec, base, T,
+                                      jax.random.fold_in(key, i + 100000))
 
-        assert wmet["loss"].shape == (K, AE) and amet["loss_a"].shape == (K,)
-        np.testing.assert_allclose(
-            np.asarray(a2["log_alphas"]), np.asarray(a["log_alphas"]),
-            rtol=1e-6, atol=1e-8)
-        np.testing.assert_allclose(
-            np.asarray(p2["stage1"]["block1"]["depth"]["kernel"]),
-            np.asarray(p["stage1"]["block1"]["depth"]["kernel"]),
-            rtol=1e-6, atol=1e-8)
+    p2, mom2, a2, opt2, wmet, amet = run(
+        jax.tree_util.tree_map(jnp.copy, params),
+        zeros_like_momentum(params),
+        jax.tree_util.tree_map(jnp.copy, arch_params),
+        adam_init(arch_params), masks, update_masks,
+        xw, yw, xa, ya, lr, T, lat_vec, base, jnp.int32(0), key)
+
+    assert wmet["loss"].shape == (K, AE) and amet["loss_a"].shape == (K,)
+    np.testing.assert_allclose(
+        np.asarray(a2["log_alphas"]), np.asarray(a["log_alphas"]),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2["w"]), np.asarray(p["w"]),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_validation_step(small_search_setup):
