@@ -28,7 +28,8 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..models import search_space as ss
-from ..search.bisample import (gumbel_softmax_weights, sample_gumbel_indices,
+from ..search.bisample import (gumbel_softmax_weights, project_log_softmax,
+                               sample_gumbel_indices,
                                sample_random_excluding)
 from ..search.train_step import (AdamState, adam_init, adam_update,
                                  sgd_momentum_update, zeros_like_momentum)
@@ -71,21 +72,26 @@ def reset_group_optimizers(state):
 def make_pareto_search_steps(net, mesh, *, num_classes, targets,
                              w_mom=0.9, w_wd=1e-5, a_lr=0.01, a_beta1=0.5,
                              a_beta2=0.999, a_wd=5e-4, grad_clip=5.0,
-                             lambda_lat=0.1):
+                             lambda_lat=0.1, valid_mask=None):
     """Returns (weight_step, arch_step) over group-stacked state.
 
     targets: [G] per-group target latencies (ms).
     masks/update_masks/lat_vec are GROUP-STACKED pytrees (leading [G] dim,
     sharded over 'pareto') because per-group elasticity diverges the width
     masks after the warmup epochs — stack with `stack_group_trees`.
+
+    valid_mask: optional [TOTAL_BLOCKS, NUM_OPS] candidate-validity mask
+    (hybrid conv/ViT space), shared across groups.
     """
     targets = jnp.asarray(targets, jnp.float32)
 
     def _group_weight_step(params, arch_params, mom, masks, update_masks,
                            x, y, lr, key):
         kg, kr = jax.random.split(key)
-        idx_g = sample_gumbel_indices(kg, arch_params["log_alphas"])
-        idx_r = sample_random_excluding(kr, idx_g, ss.NUM_OPS)
+        idx_g = sample_gumbel_indices(kg, arch_params["log_alphas"],
+                                      valid_mask)
+        idx_r = sample_random_excluding(
+            kr, idx_g, arch_params["log_alphas"].shape[-1], valid_mask)
 
         def loss_fn(p):
             lg, lrnd = net.apply_sampled_pair(p, arch_params, masks, x,
@@ -105,7 +111,8 @@ def make_pareto_search_steps(net, mesh, *, num_classes, targets,
     def _group_arch_step(params, arch_params, opt_a, masks, x, y, lat_vec,
                          base_lat, temperature, target_lat, key):
         def loss_fn(a):
-            w = gumbel_softmax_weights(key, a["log_alphas"], temperature)
+            w = gumbel_softmax_weights(key, a["log_alphas"], temperature,
+                                       valid_mask)
             logits, lat = net.apply_soft(params, a, masks, x, w, lat_vec,
                                          training=True)
             lat = lat + base_lat
@@ -120,7 +127,8 @@ def make_pareto_search_steps(net, mesh, *, num_classes, targets,
             arch_params, grads, opt_a, lr=a_lr, b1=a_beta1, b2=a_beta2,
             eps=1e-8, weight_decay=a_wd, grad_clip=grad_clip)
         arch_params = {
-            "log_alphas": jax.nn.log_softmax(arch_params["log_alphas"], -1),
+            "log_alphas": project_log_softmax(arch_params["log_alphas"],
+                                              valid_mask),
             "betas": {k: jax.nn.log_softmax(v, -1)
                       for k, v in arch_params["betas"].items()},
         }

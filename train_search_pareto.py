@@ -69,6 +69,8 @@ parser.add_argument('--print_freq', type=int, default=100)
 parser.add_argument('--workers', type=int, default=4)
 parser.add_argument('--bf16', action='store_true', default=True)
 parser.add_argument('--no_bf16', dest='bf16', action='store_false')
+parser.add_argument('--space', type=str, default='mbconv',
+                    choices=['mbconv', 'hybrid'])
 parser.add_argument('--synthetic', action='store_true')
 parser.add_argument('--steps_per_epoch', type=int, default=0)
 parser.add_argument('--image_size', type=int, default=224)
@@ -88,19 +90,32 @@ def main():
     logging.info("mesh: %s, targets: %s", mesh, targets)
 
     lat_lookup = load_lat_lookup(args.lookup_path)
+    hybrid = args.space == 'hybrid'
+    if hybrid:
+        from tfnas_tpu.models import hybrid_space as hs
+        from tfnas_tpu.models.supernet_hybrid import HybridSuperNetwork
+        build_masks, key_dddict, space_num_ops = (
+            hs.build_mc_mask_dddict, hs.build_lat_lookup_key_dddict(),
+            hs.NUM_OPS)
+    else:
+        build_masks, key_dddict, space_num_ops = (
+            ss.build_mc_mask_dddict, ss.lat_lookup_key_dddict, ss.NUM_OPS)
     # per-group mask registries (elasticity diverges per target)
-    group_masks = [ss.build_mc_mask_dddict() for _ in range(G)]
+    group_masks = [build_masks() for _ in range(G)]
     mc_maxnum = get_mc_num_dddict(group_masks[0], is_max=True)
 
     # cross-replica BN over the in-group data axis keeps batch-stat BN
     # semantics identical to the reference's single-device batch
-    net = SuperNetwork(args.num_classes,
-                       bn_axis_name='data' if n_dev // G > 1 else None)
+    bn_axis = 'data' if n_dev // G > 1 else None
+    net = (HybridSuperNetwork(args.num_classes, bn_axis_name=bn_axis)
+           if hybrid else
+           SuperNetwork(args.num_classes, bn_axis_name=bn_axis))
     state = init_pareto_state(net, jax.random.PRNGKey(args.seed), G)
     weight_step, arch_step = make_pareto_search_steps(
         net, mesh, num_classes=args.num_classes, targets=targets,
         w_mom=args.w_mom, w_wd=args.w_wd, a_lr=args.a_lr, a_wd=args.a_wd,
-        grad_clip=args.grad_clip, lambda_lat=args.lambda_lat)
+        grad_clip=args.grad_clip, lambda_lat=args.lambda_lat,
+        valid_mask=net.valid_mask if hybrid else None)
     lr_list = cosine_lr_list(args.w_lr, args.epochs)
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
@@ -154,7 +169,8 @@ def main():
         update_masks = stack_group_trees(
             [net.update_masks(params_g0, m) for m in group_masks])
         lat_vec = jnp.asarray(np.stack(
-            [lat_vectors_for_mc(lat_lookup, mc) for mc in group_mc_num]))
+            [lat_vectors_for_mc(lat_lookup, mc, key_dddict, space_num_ops)
+             for mc in group_mc_num]))
         base_lat = jnp.float32(lat_lookup["base"])
         state = reset_group_optimizers(state)
         lr = jax.device_put(jnp.full((G,), lr_list[epoch], jnp.float32), gsh)
@@ -191,7 +207,7 @@ def main():
             if epoch >= args.warmup_epochs:
                 mc_num, before, after = shrink_or_expand(
                     parsed, group_mc_num[g], mc_maxnum,
-                    ss.lat_lookup_key_dddict, lat_lookup, targets[g])
+                    key_dddict, lat_lookup, targets[g])
                 params_g = jax.tree_util.tree_map(lambda a: a[g],
                                                   host_state.params)
                 group_masks[g] = rewrite_masks_by_l1(
