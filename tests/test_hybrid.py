@@ -244,3 +244,31 @@ def test_hybrid_elasticity_rewrites_vit_mask():
         params["stage5"]["block1"]["vit"]["mlp_in"]["kernel"])).sum(0)
     kept = set(np.nonzero(m)[0].tolist())
     assert kept == set(np.argsort(l1)[::-1][:2 * oc].tolist())
+
+
+def test_hybrid_analytic_lut_key_set():
+    """build_analytic_lut(--space hybrid) covers exactly the hybrid key
+    registry: 'base' + 66 conv keys + 5 unique ViT keys, with full integer
+    width coverage per ViT key."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from make_lat_lut_tpu import build_analytic_lut
+
+    lut = build_analytic_lut(batch=32, space="hybrid")
+    keys = hs.build_lat_lookup_key_dddict()
+    wanted = {keys[st][b][o] for st in keys for b in keys[st]
+              for o in keys[st][b]}
+    assert set(lut) == wanted | {"base"}
+    vit_keys = [k for k in lut if k.startswith("ViTBlock")]
+    assert len(vit_keys) == 5
+    for st in keys:
+        for b in keys[st]:
+            if hs.VIT_OP_IDX not in keys[st][b]:
+                continue
+            k = keys[st][b][hs.VIT_OP_IDX]
+            oc = int(k.split("_")[4])  # ViTBlock_{res}_{ic}_h{h}_{oc}_...
+            d = lut[k]
+            assert set(d) == set(range(1, oc * hs.VIT_MAX_EXPAND + 1))
+            # monotone non-decreasing in width (roofline + overhead)
+            vals = [d[m] for m in sorted(d)]
+            assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
