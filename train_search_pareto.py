@@ -71,6 +71,10 @@ parser.add_argument('--bf16', action='store_true', default=True)
 parser.add_argument('--no_bf16', dest='bf16', action='store_false')
 parser.add_argument('--space', type=str, default='mbconv',
                     choices=['mbconv', 'hybrid'])
+parser.add_argument('--resume', type=str, default='',
+                    help='resume: comma-separated per-group '
+                         'searched_model_g{g}_{NN}.pkl paths (same order '
+                         'as --target_lats), or one path pattern with {g}')
 parser.add_argument('--synthetic', action='store_true')
 parser.add_argument('--steps_per_epoch', type=int, default=0)
 parser.add_argument('--image_size', type=int, default=224)
@@ -111,6 +115,21 @@ def main():
            if hybrid else
            SuperNetwork(args.num_classes, bn_axis_name=bn_axis))
     state = init_pareto_state(net, jax.random.PRNGKey(args.seed), G)
+    start_epoch = 0
+    if args.resume:
+        from tfnas_tpu.utils import load_checkpoint
+        paths = ([args.resume.format(g=g) for g in range(G)]
+                 if '{g}' in args.resume else args.resume.split(','))
+        assert len(paths) == G, f"need {G} resume paths, got {len(paths)}"
+        ckpts = [load_checkpoint(pth) for pth in paths]
+        state = state._replace(
+            params=stack_group_trees([c['params'] for c in ckpts]),
+            arch_params=stack_group_trees(
+                [c['arch_params'] for c in ckpts]))
+        group_masks = [c['mc_mask_dddict'] for c in ckpts]
+        start_epoch = int(ckpts[0]['epoch'])
+        T_resume = np.asarray([float(c['T']) for c in ckpts], np.float32)
+        logging.info('resumed %d groups at epoch %d', G, start_epoch)
     weight_step, arch_step = make_pareto_search_steps(
         net, mesh, num_classes=args.num_classes, targets=targets,
         w_mom=args.w_mom, w_wd=args.w_wd, a_lr=args.a_lr, a_wd=args.a_wd,
@@ -158,9 +177,9 @@ def main():
                    np.stack([p[1] for p in pairs]))
 
     key = jax.random.PRNGKey(args.seed + 1)
-    T = np.full((G,), args.T, np.float32)
+    T = (T_resume if args.resume else np.full((G,), args.T, np.float32))
     total_start = time.time()
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         group_mc_num = [get_mc_num_dddict(m) for m in group_masks]
         # group-stacked mask/latency trees (per-group elasticity diverges)
         masks = stack_group_trees(
