@@ -55,6 +55,10 @@ def _fold_conv_layer(layer, params, state):
 
 
 def _fold_mbconv(layer, params, state):
+    if getattr(layer, "name", "") == "ViTBlock":
+        # hybrid-space attention candidate: LayerNorm carries no running
+        # stats, nothing to fold — pass through unchanged
+        return layer, dict(params)
     if not layer.use_bn:
         return layer, dict(params)
     new_layer = dataclasses.replace(layer, use_bn=False, bias=True)
