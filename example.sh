@@ -53,3 +53,27 @@ python -u test.py \
 	--config_path "./model.config" \
 	--weights "./checkpoints/eval-*/model_best.pkl" \
 	--batch_size 512
+
+# 5. Pareto multi-search: G independent target-latency searches sharded
+#    over one device mesh ('pareto' x 'data'), each internally
+#    data-parallel — the pod-scale mode the reference cannot express.
+python -u train_search_pareto.py \
+	--img_root "Your ImageNet Train Set Path" \
+	--train_list "./dataset/ImageNet-100-effb0_train_cls_ratio0.8.txt" \
+	--lookup_path "./latency_pkl/latency_tpu.pkl" \
+	--target_lats 0.6,0.8,1.0,1.2 --epochs 90 --batch_size 32 \
+	--save "./checkpoints" --note "pareto-4pt"
+# resume a pareto run: --resume "./checkpoints/pareto-search-*/searched_model_g{g}_45.pkl"
+
+# 6. Hybrid conv/ViT search (attention candidates at stages 4-6): build the
+#    hybrid table (adds the 5 ViTBlock keys), then search with
+#    --space hybrid; parsing/retraining/testing are space-agnostic.
+python make_lat_lut_tpu.py --mode analytic --space hybrid \
+	--output ./latency_pkl/latency_tpu_hybrid.pkl
+python -u train_search.py \
+	--img_root "Your ImageNet Train Set Path" \
+	--train_list "./dataset/ImageNet-100-effb0_train_cls_ratio0.8.txt" \
+	--val_list "./dataset/ImageNet-100-effb0_val_cls_ratio0.8.txt" \
+	--lookup_path "./latency_pkl/latency_tpu_hybrid.pkl" \
+	--space hybrid --epochs 90 --batch_size 32 --target_lat 1.0 \
+	--save "./checkpoints" --note "hybrid-lat1.0"
