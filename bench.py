@@ -12,7 +12,13 @@ weight steps on ImageNet-100 — in 1.8 Titan RTX days (README.md:5), i.e.
 287,316 weight steps / 155,520 s = 1.85 weight steps/sec. `vs_baseline` is
 our rate / 1.85.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also measures the second BASELINE metric — TF-NAS-A eval images/sec/chip
+(BN-folded bf16 inference of configs/tfnas_a_tpu.config at bs 1024; the
+reference's TF-NAS-A runs 18.03 ms @ bs32 on a Titan RTX = 1775 im/s,
+README.md:20).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"secondary": {...the eval metric...}}.
 """
 
 import json
@@ -23,6 +29,38 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_STEPS_PER_SEC = 287316.0 / (1.8 * 24 * 3600)  # 1.847
+BASELINE_EVAL_IMS = 32 / 0.01803  # 1775 im/s: TF-NAS-A, Titan RTX bs=32
+
+
+def bench_eval_images_per_sec(batch=1024, iters=30):
+    """BN-folded TF-NAS-A inference throughput on one chip."""
+    from tfnas_tpu.models.eval_net import EvalNetwork
+    from tfnas_tpu.models.folding import fold_batchnorm
+
+    with open("configs/tfnas_a_tpu.config") as f:
+        cfg = json.load(f)
+    net = EvalNetwork.from_config(1000, cfg)
+    params, state = net.init(jax.random.PRNGKey(0))
+    folded, fparams = fold_batchnorm(net, params, state)
+
+    @jax.jit
+    def chain(x):
+        logits, _ = folded.apply(fparams, {}, x, training=False)
+        # data-dependent chain so relay caching cannot elide work
+        return x + (logits.mean() * 1e-6).astype(x.dtype)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 224, 224, 3), np.float32),
+                    jnp.bfloat16)
+    for _ in range(6):
+        x = chain(x)
+    jax.block_until_ready(x)
+    tic = time.perf_counter()
+    for _ in range(iters):
+        x = chain(x)
+    jax.block_until_ready(x)
+    dt = (time.perf_counter() - tic) / iters
+    return batch / dt
 
 
 def main():
@@ -91,11 +129,18 @@ def main():
     dt = time.perf_counter() - tic
 
     rate = n_timed / dt
+    eval_ims = bench_eval_images_per_sec()
     print(json.dumps({
         "metric": "supernet_search_weight_steps_per_sec",
         "value": round(rate, 3),
         "unit": "steps/sec",
         "vs_baseline": round(rate / BASELINE_STEPS_PER_SEC, 2),
+        "secondary": {
+            "metric": "tfnas_a_eval_images_per_sec_per_chip",
+            "value": round(eval_ims, 1),
+            "unit": "images/sec",
+            "vs_baseline": round(eval_ims / BASELINE_EVAL_IMS, 2),
+        },
     }))
 
 

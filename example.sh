@@ -65,6 +65,26 @@ python -u train_search_pareto.py \
 	--save "./checkpoints" --note "pareto-4pt"
 # resume a pareto run: --resume "./checkpoints/pareto-search-*/searched_model_g{g}_45.pkl"
 
+# 5b. Multi-host (pod) retraining: run the SAME train_eval.py command on
+#     every host of the slice. On Cloud TPU pods each worker autodetects
+#     its coordinates from the metadata server — just set
+#     TFNAS_DISTRIBUTED=1; on arbitrary clusters point every process at a
+#     coordinator. --batch_size stays the GLOBAL batch; each host loads its
+#     own ImageList shard (DistributedSampler equivalent) and only host 0
+#     writes checkpoints/logs.
+#
+#   # TPU pod slice (one command per worker, e.g. via gcloud ... --worker=all):
+#   TFNAS_DISTRIBUTED=1 python -u train_eval.py --config_path ./model.config \
+#       --train_root ... --train_list ... --val_root ... --val_list ... \
+#       --batch_size 1024 --save ./checkpoints --note pod-eval
+#
+#   # generic cluster (N processes, one per host):
+#   JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=N JAX_PROCESS_ID=i \
+#       python -u train_eval.py ...same flags...
+#
+#   train_search_pareto.py accepts the same environment (per-host input
+#   shards feed the global ['pareto','data'] mesh).
+
 # 6. Hybrid conv/ViT search (attention candidates at stages 4-6): build the
 #    hybrid table (adds the 5 ViTBlock keys), then search with
 #    --space hybrid; parsing/retraining/testing are space-agnostic.

@@ -25,6 +25,51 @@ def tiny_net(num_classes=8):
                                         drop_connect_rate=0.1)
 
 
+def test_host_shard_distributed_sampler_parity(tmp_path):
+    """ImageList(host_shard=(i, n)) shards the list like DistributedSampler
+    (train_eval_amp.py:220-222): equal per-host lengths (padded by
+    wrapping), disjoint before padding, union covers the list."""
+    from tfnas_tpu.data import ImageList
+
+    lines = [f"img_{i}.jpg {i % 7}" for i in range(103)]  # 103 % 4 != 0
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(lines) + "\n")
+
+    n = 4
+    shards = [ImageList("", str(lst), training=False,
+                        host_shard=(i, n), use_native=False).img_list
+              for i in range(n)]
+    # equal lengths = ceil(103/4) = 26 -> equal batch counts on every host
+    assert all(len(s) == 26 for s in shards)
+    # union covers every sample; only the wrap-padding repeats
+    flat = [f"{p} {y}" for s in shards for (p, y) in s]
+    assert set(flat) == set(lines)
+    from collections import Counter
+    dupes = [k for k, c in Counter(flat).items() if c > 1]
+    assert len(dupes) == 26 * 4 - 103
+    # single-process (host_shard None or n=1): list untouched
+    ds = ImageList("", str(lst), training=False, host_shard=(0, 1),
+                   use_native=False)
+    assert len(ds.img_list) == 103
+
+
+def test_put_helpers_single_process():
+    """put_global_batch / put_host_replicated reduce to device_put when
+    single-process, preserving values and shardings."""
+    from tfnas_tpu.parallel.mesh import put_global_batch, put_host_replicated
+
+    mesh = make_mesh(8)
+    sh = batch_sharding(mesh)
+    x = np.arange(32, dtype=np.float32).reshape(8, 4)
+    g = put_global_batch(x, sh)
+    np.testing.assert_array_equal(np.asarray(g), x)
+    assert g.sharding.is_equivalent_to(sh, x.ndim)
+    r = put_host_replicated(np.float32([1, 2]),
+                            jax.sharding.NamedSharding(
+                                mesh, jax.sharding.PartitionSpec()))
+    np.testing.assert_array_equal(np.asarray(r), [1, 2])
+
+
 def test_mesh_shapes():
     mesh = make_mesh(8)
     assert mesh.shape["data"] == 8 and mesh.shape["pareto"] == 1
@@ -96,27 +141,25 @@ def test_dp_matches_single_device():
     np.testing.assert_allclose(ma, mb, rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.slow
-@pytest.mark.skipif(
-    os.environ.get("TFNAS_RUN_PARETO_TEST", "") != "1",
-    reason="the XLA CPU compiler fatally aborts (~40 min in) on the "
-           "group-stacked full-supernet shard_map module on this "
-           "single-core host (reproduced twice: this test inside -m slow, "
-           "and the equivalent TFNAS_DRYRUN_SEARCH=1 dryrun leg). The "
-           "program itself is verified on real TPU hardware by the "
-           "train_search_pareto --synthetic smokes (incl. hybrid + "
-           "resume). Set TFNAS_RUN_PARETO_TEST=1 to attempt it anyway.")
 def test_pareto_multi_search_step():
+    """Group-stacked supernet search steps over a [pareto, data] mesh.
+
+    Uses the tiny space: the FULL-space version of this shard_map program
+    fatally aborts the XLA CPU compiler on this single-core host (~40 min
+    in, reproduced twice) but runs fine on real TPU via the
+    train_search_pareto --synthetic smokes; the tiny space compiles in
+    seconds and exercises the identical sharding structure."""
     from tfnas_tpu.models.supernet import SuperNetwork
     from tfnas_tpu.parallel.pareto import (init_pareto_state,
                                            make_pareto_search_steps,
                                            stack_group_trees)
 
     G = 2
-    net = SuperNetwork(num_classes=8)
+    sp = ss.tiny_space()
+    net = SuperNetwork(num_classes=8, space=sp)
     mesh = make_mesh(8, pareto_groups=G)
     state = init_pareto_state(net, jax.random.PRNGKey(0), G)
-    mc_mask = ss.build_mc_mask_dddict()
+    mc_mask = sp.build_mc_mask_dddict()
     masks = stack_group_trees([net.device_masks(mc_mask)] * G)
 
     params_single, _ = net.init(jax.random.PRNGKey(1))
@@ -142,7 +185,7 @@ def test_pareto_multi_search_step():
     assert m["loss"].shape == (G,)
     assert np.all(np.isfinite(np.asarray(m["loss"])))
 
-    lat_vec = jnp.ones((G, ss.TOTAL_BLOCKS, ss.NUM_OPS), jnp.float32)
+    lat_vec = jnp.ones((G, sp.TOTAL_BLOCKS, ss.NUM_OPS), jnp.float32)
     T = jax.device_put(jnp.full((G,), 5.0, jnp.float32), gsh)
     state2, ma = arch_step(state1, masks, x, y, lat_vec, jnp.float32(1.0),
                            T, keys)
@@ -151,21 +194,22 @@ def test_pareto_multi_search_step():
     assert np.all(np.isfinite(np.asarray(ma["loss_l"])))
 
 
-@pytest.mark.slow
 def test_search_syncbn_matches_single_device():
     """Supernet sampled forward with cross-replica BN over a 4-way 'data'
-    mesh == single-device forward on the same global batch."""
+    mesh == single-device forward on the same global batch (tiny space —
+    same BN/psum structure, seconds to compile)."""
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
     from tfnas_tpu.models.supernet import SuperNetwork
 
-    net1 = SuperNetwork(num_classes=8)
-    netN = SuperNetwork(num_classes=8, bn_axis_name="data")
+    sp = ss.tiny_space()
+    net1 = SuperNetwork(num_classes=8, space=sp)
+    netN = SuperNetwork(num_classes=8, bn_axis_name="data", space=sp)
     params, arch = net1.init(jax.random.PRNGKey(0))
-    masks = net1.device_masks(ss.build_mc_mask_dddict())
+    masks = net1.device_masks(sp.build_mc_mask_dddict())
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((8, 32, 32, 3), np.float32))
-    idx = jnp.asarray(np.arange(18) % 8, jnp.int32)
+    idx = jnp.asarray(np.arange(sp.TOTAL_BLOCKS) % 8, jnp.int32)
 
     ref = net1.apply_sampled(params, arch, masks, x, idx, training=True)
 

@@ -53,9 +53,15 @@ class ImageList:
                  host_shard=None, use_native="auto"):
         self.root = root
         self.img_list = list_reader(list_path)
-        if host_shard is not None:
+        if host_shard is not None and host_shard[1] > 1:
+            # DistributedSampler parity (train_eval_amp.py:220-222): pad the
+            # list to a multiple of the host count by wrapping, so every
+            # host sees the SAME number of samples — equal per-host batch
+            # counts keep multi-host collectives in lockstep.
             i, n = host_shard
-            self.img_list = self.img_list[i::n]
+            total = -(-len(self.img_list) // n) * n
+            padded = self.img_list + self.img_list[:total - len(self.img_list)]
+            self.img_list = padded[i::n]
         self.training = training
         self.image_size = image_size
         self.loader = loader
@@ -193,10 +199,15 @@ class DevicePrefetcher:
         self.buf = []
 
     def _put(self, batch):
+        jax = self._jax
         if self.sharding is not None:
-            return tuple(self._jax.device_put(b, self.sharding_for(b))
+            if jax.process_count() > 1:
+                # multi-host: each host contributes its local shard
+                return tuple(jax.make_array_from_process_local_data(
+                    self.sharding_for(b), b) for b in batch)
+            return tuple(jax.device_put(b, self.sharding_for(b))
                          for b in batch)
-        return tuple(self._jax.device_put(b) for b in batch)
+        return tuple(jax.device_put(b) for b in batch)
 
     def sharding_for(self, b):
         return self.sharding

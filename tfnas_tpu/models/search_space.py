@@ -165,3 +165,93 @@ def build_lat_lookup_key_dddict():
 
 mc_mask_dddict = build_mc_mask_dddict()
 lat_lookup_key_dddict = build_lat_lookup_key_dddict()
+
+
+# -- parameterized spaces ---------------------------------------------------
+
+def make_space(stage_specs, *, stem_conv, second_stem, head_conv,
+               head_features, input_size=SEARCH_INPUT_SIZE):
+    """Build a space namespace with the same attribute surface as this
+    module (STAGE_SPECS, STAGE_NAMES, STAGE_DEPTHS, TOTAL_BLOCKS,
+    BLOCK_INPUT_RES, stem/head specs, op tables, mask/key builders) so
+    SuperNetwork can run over reduced spaces — fast-compiling test fixtures
+    and small-shape multichip dryruns — without touching the reference
+    space. Op-level constants (the 8 MBConv primitives) are shared: a space
+    varies the macro skeleton, not the candidate set."""
+    import types
+
+    sp = types.SimpleNamespace(
+        PRIMITIVES=PRIMITIVES, NUM_OPS=NUM_OPS, OP_KERNEL=OP_KERNEL,
+        OP_EXPAND=OP_EXPAND, OP_MAX_EXPAND=OP_MAX_EXPAND,
+        OP_SE_MULT=OP_SE_MULT, make_op=make_op, lut_key=lut_key,
+        STEM_CONV=dict(stem_conv), SECOND_STEM=dict(second_stem),
+        HEAD_CONV=dict(head_conv), HEAD_FEATURES=head_features,
+        STAGE_SPECS=OrderedDict(stage_specs),
+        SEARCH_INPUT_SIZE=input_size,
+    )
+    sp.STAGE_NAMES = list(sp.STAGE_SPECS)
+    sp.STAGE_DEPTHS = {name: len(spec["ics"])
+                       for name, spec in sp.STAGE_SPECS.items()}
+    sp.TOTAL_BLOCKS = sum(sp.STAGE_DEPTHS.values())
+
+    res = input_size // sp.STEM_CONV["stride"]
+    sp.BLOCK_INPUT_RES = OrderedDict()
+    for stage, spec in sp.STAGE_SPECS.items():
+        sp.BLOCK_INPUT_RES[stage] = []
+        for s in spec["ss"]:
+            sp.BLOCK_INPUT_RES[stage].append(res)
+            res = res // s if s > 1 else res
+
+    def _build_masks():
+        dddict = OrderedDict()
+        for stage, spec in sp.STAGE_SPECS.items():
+            dddict[stage] = OrderedDict()
+            for b, ic in enumerate(spec["ics"]):
+                block = f"block{b + 1}"
+                dddict[stage][block] = OrderedDict()
+                for op_idx in range(NUM_OPS):
+                    mask = np.zeros((ic * OP_MAX_EXPAND[op_idx],), np.float32)
+                    mask[:ic * OP_EXPAND[op_idx]] = 1.0
+                    dddict[stage][block][op_idx] = mask
+        return dddict
+
+    def _build_keys():
+        dddict = OrderedDict()
+        for stage, spec in sp.STAGE_SPECS.items():
+            dddict[stage] = OrderedDict()
+            for b in range(len(spec["ics"])):
+                block = f"block{b + 1}"
+                dddict[stage][block] = OrderedDict()
+                for op_idx in range(NUM_OPS):
+                    dddict[stage][block][op_idx] = lut_key(
+                        op_idx, sp.BLOCK_INPUT_RES[stage][b],
+                        spec["ics"][b], spec["ocs"][b], spec["ss"][b],
+                        spec["acts"][b])
+        return dddict
+
+    sp.build_mc_mask_dddict = _build_masks
+    sp.build_lat_lookup_key_dddict = _build_keys
+    return sp
+
+
+def tiny_space(input_size=32):
+    """A 2-stage, 3-block space with ic 8/16 — same structure, ~100x less
+    compile work than the 18-block reference space. For tests and
+    small-shape multichip dryruns."""
+    return make_space(
+        OrderedDict([
+            ("stage1", dict(ics=[8, 16], ocs=[16, 16], ss=[2, 1],
+                            acts=["relu", "relu"], stage_type=1)),
+            ("stage2", dict(ics=[16], ocs=[24], ss=[1], acts=["swish"],
+                            stage_type=0)),
+        ]),
+        stem_conv=dict(in_channels=3, out_channels=16, kernel_size=3,
+                       stride=2, act_func="relu"),
+        second_stem=dict(in_channels=16, mid_channels=16, se_channels=4,
+                         out_channels=8, kernel_size=3, stride=1,
+                         act_func="relu"),
+        head_conv=dict(in_channels=24, out_channels=64, kernel_size=1,
+                       stride=1, act_func="swish"),
+        head_features=64,
+        input_size=input_size,
+    )

@@ -83,10 +83,11 @@ class BlockSite:
         return self.ic == self.oc and self.stride == 1
 
 
-def block_sites():
+def block_sites(space=None):
+    sp = space or ss
     sites = []
     g = 0
-    for stage, spec in ss.STAGE_SPECS.items():
+    for stage, spec in sp.STAGE_SPECS.items():
         for i in range(len(spec["ics"])):
             sites.append(BlockSite(stage, f"block{i + 1}", g, spec["ics"][i],
                                    spec["ocs"][i], spec["ss"][i],
@@ -114,7 +115,7 @@ class SuperNetwork:
 
     def __init__(self, num_classes, remat_blocks=False, use_pallas=False,
                  bn_axis_name=None, cond_width_split=False,
-                 project_einsum=True, dw_kernel_split=False):
+                 project_einsum=True, dw_kernel_split=False, space=None):
         # use_pallas: opt-in fused depthwise kernel (kernels/fused_dw.py).
         # Measured on v5e: XLA's depthwise conv currently wins for most of
         # this workload's shapes (Mosaic sublane relayouts dominate the
@@ -125,6 +126,10 @@ class SuperNetwork:
         # search itself runs data-parallel (the in-group 'data' axis of the
         # Pareto mesh) — keeps batch-stat BN semantics identical to the
         # reference's single-device batch regardless of sharding.
+        # space: macro-skeleton namespace (search_space.make_space); None =
+        # the reference TF-NAS space. Reduced spaces (tiny_space) compile in
+        # seconds — the test/dryrun fixture.
+        self.ss = space or ss
         self.num_classes = num_classes
         self.remat_blocks = remat_blocks
         self.use_pallas = bool(use_pallas)
@@ -146,11 +151,12 @@ class SuperNetwork:
         # SLOWER on v5e (79.6-79.9 ms vs 58.4): the extra convs break XLA's
         # single-pass fusion of the middle segment. Kept opt-in.
         self.dw_kernel_split = bool(dw_kernel_split)
-        self.first_stem = ConvLayer(affine=False, **ss.STEM_CONV)
-        self.second_stem = MBInvertedResBlock(affine=False, **ss.SECOND_STEM)
-        self.sites = block_sites()
-        self.feature_mix_layer = ConvLayer(affine=False, **ss.HEAD_CONV)
-        self.classifier = LinearLayer(ss.HEAD_FEATURES, num_classes)
+        self.first_stem = ConvLayer(affine=False, **self.ss.STEM_CONV)
+        self.second_stem = MBInvertedResBlock(affine=False,
+                                              **self.ss.SECOND_STEM)
+        self.sites = block_sites(self.ss)
+        self.feature_mix_layer = ConvLayer(affine=False, **self.ss.HEAD_CONV)
+        self.classifier = LinearLayer(self.ss.HEAD_FEATURES, num_classes)
         # static per-op constants
         self.se_on = np.asarray([m > 0 for m in ss.OP_SE_MULT], np.bool_)
 
@@ -221,8 +227,9 @@ class SuperNetwork:
         arch_params = {
             "log_alphas": jnp.full((n, ss.NUM_OPS),
                                    -np.log(ss.NUM_OPS), jnp.float32),
-            "betas": {stage: jnp.zeros((ss.STAGE_DEPTHS[stage],), jnp.float32)
-                      for stage in ss.STAGE_NAMES},
+            "betas": {stage: jnp.zeros((self.ss.STAGE_DEPTHS[stage],),
+                                       jnp.float32)
+                      for stage in self.ss.STAGE_NAMES},
         }
         return params, arch_params
 
@@ -676,8 +683,8 @@ class SuperNetwork:
         x = self._stem(params, x, training)
         x = jnp.tile(x, (1, 1, 1, S))  # same stem output feeds every set
         si = 0
-        for stage in ss.STAGE_NAMES:
-            depth = ss.STAGE_DEPTHS[stage]
+        for stage in self.ss.STAGE_NAMES:
+            depth = self.ss.STAGE_DEPTHS[stage]
             res_list = []
             h = x
             for d in range(depth):
@@ -699,7 +706,7 @@ class SuperNetwork:
         h, _ = batch_norm(h, {}, {}, affine=False, training=training,
                           axis_name=self.bn_axis_name)
         h = apply_act(h, self.feature_mix_layer.act_func)
-        pooled = jnp.mean(h, axis=(1, 2)).reshape(-1, S, ss.HEAD_FEATURES)
+        pooled = jnp.mean(h, axis=(1, 2)).reshape(-1, S, self.ss.HEAD_FEATURES)
         logits = jnp.einsum(
             "nsf,fc->nsc", pooled,
             params["classifier"]["linear"]["kernel"].astype(pooled.dtype))
@@ -740,8 +747,8 @@ class SuperNetwork:
         over the per-stage sink outputs (model_search.py:202-204)."""
         x = self._stem(params, x, training)
         si = 0
-        for stage in ss.STAGE_NAMES:
-            depth = ss.STAGE_DEPTHS[stage]
+        for stage in self.ss.STAGE_NAMES:
+            depth = self.ss.STAGE_DEPTHS[stage]
             res_list = []
             h = x
             for d in range(depth):
@@ -774,8 +781,8 @@ class SuperNetwork:
         def trunk_head(op_indices, h0):
             si = 0
             h_stage = h0
-            for stage in ss.STAGE_NAMES:
-                depth = ss.STAGE_DEPTHS[stage]
+            for stage in self.ss.STAGE_NAMES:
+                depth = self.ss.STAGE_DEPTHS[stage]
                 res_list = []
                 h = h_stage
                 for d in range(depth):
@@ -800,8 +807,8 @@ class SuperNetwork:
         x = self._stem(params, x, training)
         total_lat = jnp.zeros((), jnp.float32)
         si = 0
-        for stage in ss.STAGE_NAMES:
-            depth = ss.STAGE_DEPTHS[stage]
+        for stage in self.ss.STAGE_NAMES:
+            depth = self.ss.STAGE_DEPTHS[stage]
             res_list, lat_list = [], []
             h = x
             cum_lat = jnp.zeros((), jnp.float32)

@@ -150,16 +150,20 @@ class ViTBlock:
         h, w, c = x.shape[1], x.shape[2], x.shape[3]
         tokens = x.reshape(n, h * w, c)
 
-        def branch_drop(b):
+        def branch_drop(b, branch_rng):
             if self.drop_connect_rate > 0.0 and training and rng is not None:
                 from .layers import drop_connect
-                return drop_connect(b, rng, self.drop_connect_rate)
+                return drop_connect(b, branch_rng, self.drop_connect_rate)
             return b
 
+        # independent stochastic-depth masks per residual branch (standard
+        # practice; a shared key would drop both branches in lockstep)
+        rng_attn, rng_mlp = (jax.random.split(rng) if rng is not None
+                             else (None, None))
         a = multi_head_attention(
             layer_norm(tokens, params["ln1"], affine=self.affine),
             params["qkv"], params["attn_out"], self.num_heads)
-        tokens = tokens + branch_drop(a)
+        tokens = tokens + branch_drop(a, rng_attn)
 
         z = linear(layer_norm(tokens, params["ln2"], affine=self.affine),
                    params["mlp_in"])
@@ -167,6 +171,6 @@ class ViTBlock:
             z = z * channel_mask.astype(z.dtype)
         z = apply_act(z, self.act_func)
         z = linear(z, params["mlp_out"])
-        tokens = tokens + branch_drop(z)
+        tokens = tokens + branch_drop(z, rng_mlp)
 
         return tokens.reshape(n, h, w, c), dict(state)

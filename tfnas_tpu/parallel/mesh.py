@@ -43,3 +43,66 @@ def replicated(mesh):
 
 def num_data_shards(mesh):
     return mesh.shape[DATA_AXIS]
+
+
+# -- multi-host (pod) support ----------------------------------------------
+#
+# The reference's multi-process story is torch.distributed.launch + NCCL
+# process-group init from WORLD_SIZE/--local_rank env vars
+# (train_eval_amp.py:121-131). JAX's single-controller equivalent: every
+# host runs the same driver, jax.distributed.initialize() wires the
+# coordination service, jax.devices() becomes the GLOBAL device list, and
+# per-host input shards are assembled into globally-sharded arrays with
+# jax.make_array_from_process_local_data (the DistributedSampler
+# equivalent lives in ImageList(host_shard=...)).
+
+def maybe_distributed_init():
+    """Initialize the JAX distributed runtime when env vars indicate a
+    multi-process launch; no-op otherwise.
+
+    Triggers on the standard JAX coordination env vars
+    (JAX_COORDINATOR_ADDRESS [+ JAX_NUM_PROCESSES/JAX_PROCESS_ID] as set by
+    multi-host launchers) or an explicit TFNAS_DISTRIBUTED=1 (TPU pod slices,
+    where initialize() autodetects everything from the metadata server).
+    Reference parity: train_eval_amp.py:121-131."""
+    import os
+    if any(os.environ.get(v) for v in
+           ("JAX_COORDINATOR_ADDRESS", "TFNAS_DISTRIBUTED")):
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
+
+
+def host_shard():
+    """(process_index, process_count) for ImageList host sharding, or None
+    when single-process (keeps the single-host loaders byte-identical)."""
+    if jax.process_count() == 1:
+        return None
+    return (jax.process_index(), jax.process_count())
+
+
+def is_main_process():
+    """Gate checkpoint/log writes (reference rank-0-only logging,
+    train_eval_amp.py:294-301)."""
+    return jax.process_index() == 0
+
+
+def put_global_batch(local_batch, sharding):
+    """Assemble a per-host local batch into a globally-sharded array.
+
+    Single-process: plain async device_put. Multi-process: every host
+    contributes its local shard; the result is one global jax.Array whose
+    addressable shards live on this host's devices."""
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_batch)
+
+
+def put_host_replicated(arr, sharding):
+    """Shard an array that every host holds IN FULL (lr/T/key vectors) onto
+    an arbitrary (possibly non-fully-addressable) sharding."""
+    import numpy as np
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])

@@ -26,10 +26,9 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..utils.metrics import accuracy, cross_entropy
+from ..utils.metrics import accuracy, cross_entropy, masked_mean
 from .bisample import (gumbel_softmax_weights, project_log_softmax,
                        sample_gumbel_indices, sample_random_excluding)
-from ..models import search_space as ss
 
 
 # -- generic pytree optimizer pieces --------------------------------------
@@ -187,15 +186,24 @@ def make_search_steps(net, *, num_classes, w_mom=0.9, w_wd=1e-5,
         return arch_params, opt_a, {"loss_a": loss_a, "loss_l": loss_l,
                                     "lat": lat}
 
-    def val_step(params, arch_params, masks, x, y, key):
+    def val_step(params, arch_params, masks, x, y, key, wmask=None):
         """Sampled validation (train_search.py:435-462; BN stays in
-        batch-stat mode — the reference validates in .train())."""
+        batch-stat mode — the reference validates in .train()).
+
+        wmask: optional [N] 0/1 validity mask for padded tail batches so the
+        FULL val set is scored with static shapes (cf. the eval driver's
+        padded validation; reference validates every sample)."""
         idx_g = sample_gumbel_indices(key, arch_params["log_alphas"],
                                       valid_mask)
         logits = net.apply_sampled(params, arch_params, masks, x, idx_g,
                                    training=True)
-        loss = cross_entropy(logits, y)
-        top1, top5 = accuracy(logits, y, topk=(1, 5))
+        if wmask is None:
+            loss = cross_entropy(logits, y)
+        else:
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            nll = -jnp.take_along_axis(logp, y[:, None], -1)[:, 0]
+            loss = masked_mean(nll, wmask)
+        top1, top5 = accuracy(logits, y, topk=(1, 5), weights=wmask)
         return {"loss": loss, "top1": top1, "top5": top5}
 
     if not jit:
@@ -223,28 +231,36 @@ def make_scanned_search_iter(net, *, num_classes, arch_every=2, **kw):
           ametrics [K])
 
     Semantics are identical to calling weight_step/arch_step in a Python
-    loop with keys fold_in(key, step0 + global step counter)."""
+    loop with weight keys fold_in(fold_in(key, 0), global weight counter)
+    and arch keys fold_in(fold_in(key, 1), global arch counter) — two
+    structurally disjoint streams that can never collide regardless of run
+    length (a single counter offset would alias once the weight counter
+    crossed it)."""
     raw = make_search_steps(net, num_classes=num_classes, jit=False, **kw)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def run(params, mom, arch_params, opt_a, masks, update_masks,
             xw, yw, xa, ya, lr, T, lat_vec, base_lat, step0, key):
+        wkey = jax.random.fold_in(key, 0)
+        akey = jax.random.fold_in(key, 1)
+
         def unit(carry, inp):
             params, mom, arch_params, opt_a, i = carry
             xw_u, yw_u, xa_u, ya_u = inp
+            u = i // arch_every  # unit counter == arch-step counter
 
             def wbody(c, xy):
                 p, m, j = c
                 p, m, met = raw.weight_step(
                     p, arch_params, m, masks, update_masks, xy[0], xy[1],
-                    lr, jax.random.fold_in(key, j))
+                    lr, jax.random.fold_in(wkey, j))
                 return (p, m, j + 1), met
 
             (params, mom, i), wmet = jax.lax.scan(
                 wbody, (params, mom, i), (xw_u, yw_u))
             arch_params, opt_a, amet = raw.arch_step(
                 params, arch_params, opt_a, masks, xa_u, ya_u, lat_vec,
-                base_lat, T, jax.random.fold_in(key, i + 100000))
+                base_lat, T, jax.random.fold_in(akey, u))
             return (params, mom, arch_params, opt_a, i), (wmet, amet)
 
         (params, mom, arch_params, opt_a, _), (wmet, amet) = jax.lax.scan(

@@ -18,10 +18,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tfnas_tpu.data import DataLoader, ImageList, synthetic_loader
+from tfnas_tpu.data import (DataLoader, DevicePrefetcher, ImageList,
+                            synthetic_loader)
 from tfnas_tpu.models.eval_net import EvalNetwork
 from tfnas_tpu.parallel import (batch_sharding, make_mesh,
                                 cosine_lr_with_warmup, make_eval_steps)
+from tfnas_tpu.parallel.mesh import (host_shard, is_main_process,
+                                     maybe_distributed_init,
+                                     put_global_batch)
 from tfnas_tpu.parallel.train_dp import EvalTrainState
 from tfnas_tpu.search.parser import (get_mc_num_dddict,
                                      get_op_and_depth_weights,
@@ -90,12 +94,27 @@ def build_model(args):
 
 def main():
     args = parser.parse_args()
-    run_dir = setup_experiment(args.save, 'eval', args.note)
+    # multi-process launch (pod): one driver process per host, coordinated
+    # via jax.distributed (reference NCCL init, train_eval_amp.py:121-131)
+    proc_idx, proc_cnt = maybe_distributed_init()
+    if is_main_process():
+        run_dir = setup_experiment(args.save, 'eval', args.note)
+    else:
+        # non-main hosts: stdout-only logging, no run-dir writes
+        # (train_eval_amp.py:294-301 rank-0 gating)
+        logging.basicConfig(level=logging.INFO, force=True,
+                            format=f"[host {proc_idx}] %(message)s")
+        run_dir = None
     logging.info("args = %s", args)
+    if proc_cnt > 1:
+        logging.info("multi-host: process %d/%d, %d local / %d global devices",
+                     proc_idx, proc_cnt, jax.local_device_count(),
+                     jax.device_count())
 
     net = build_model(args)
-    with open(os.path.join(run_dir, 'model.config'), 'w') as f:
-        json.dump(net.config, f, indent=4)
+    if is_main_process():
+        with open(os.path.join(run_dir, 'model.config'), 'w') as f:
+            json.dump(net.config, f, indent=4)
 
     mesh = make_mesh(args.n_devices or None)
     n_dev = mesh.devices.size
@@ -124,24 +143,30 @@ def main():
         state = EvalTrainState(ckpt['params'], ckpt['bn_state'],
                                ckpt['momentum'], jnp.asarray(start_epoch))
 
-    # data
+    # data — per-host shard of the global batch (multi-host: ImageList
+    # host_shard is the DistributedSampler equivalent, equal padded shards;
+    # local loaders feed put_global_batch/DevicePrefetcher assembly)
+    assert args.batch_size % proc_cnt == 0, (args.batch_size, proc_cnt)
+    local_bs = args.batch_size // proc_cnt
     if args.synthetic:
         spe = args.steps_per_epoch or 50
         def train_iter(ep):
-            return synthetic_loader(args.batch_size, spe, args.num_classes,
-                                    args.image_size, seed=ep)
+            return synthetic_loader(local_bs, spe, args.num_classes,
+                                    args.image_size, seed=(ep, proc_idx))
         def val_iter(ep):
-            return synthetic_loader(args.batch_size, max(spe // 4, 1),
+            return synthetic_loader(local_bs, max(spe // 4, 1),
                                     args.num_classes, args.image_size,
-                                    seed=99_000 + ep)
+                                    seed=(99_000 + ep, proc_idx))
     else:
         train_ds = ImageList(args.train_root, args.train_list, training=True,
-                             image_size=args.image_size)
+                             image_size=args.image_size,
+                             host_shard=host_shard())
         val_ds = ImageList(args.val_root, args.val_list, training=False,
-                           image_size=args.image_size)
-        tl = DataLoader(train_ds, args.batch_size, shuffle=True,
+                           image_size=args.image_size,
+                           host_shard=host_shard())
+        tl = DataLoader(train_ds, local_bs, shuffle=True,
                         num_workers=args.workers, seed=args.seed)
-        vl = DataLoader(val_ds, args.batch_size, shuffle=False,
+        vl = DataLoader(val_ds, local_bs, shuffle=False,
                         num_workers=args.workers, seed=args.seed,
                         drop_last=False, pad_last=True)
         def train_iter(ep):
@@ -161,19 +186,29 @@ def main():
                                    args.batch_size)
         logging.info('Epoch: %d lr %e', epoch, lr)
         meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
+        pending = []  # (n, device metrics) — flushed lazily so the meters
+                      # cover EVERY step (reference train_eval.py:253-261)
+                      # without forcing a host sync per step
+
+        def flush():
+            for n_, m_ in pending:
+                for mk in meters:
+                    meters[mk].update(float(m_[mk]), n_)
+            pending.clear()
+
         epoch_start = time.time()
-        for step, (x, y) in enumerate(train_iter(epoch)):
-            x = jax.device_put(jnp.asarray(x), xsh)
-            y = jax.device_put(jnp.asarray(y), xsh)
+        # prefetcher double-buffers sharded H2D transfers ahead of compute
+        for step, (x, y) in enumerate(
+                DevicePrefetcher(train_iter(epoch), depth=2, sharding=xsh)):
             key, k1 = jax.random.split(key)
             state, m = train_step(state, x, y, jnp.float32(lr), k1)
-            n = len(y)
+            pending.append((len(y), m))
             if step % args.print_freq == 0:
-                for mk in meters:
-                    meters[mk].update(float(m[mk]), n)
+                flush()
                 logging.info('TRAIN Step: %03d Objs: %e R1: %f R5: %f',
                              step, meters["loss"].avg, meters["top1"].avg,
                              meters["top5"].avg)
+        flush()
         logging.info('Train_acc: %f', meters["top1"].avg)
 
         vmeters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
@@ -182,11 +217,12 @@ def main():
             n_valid = batch[2] if len(batch) > 2 else len(y)
             wmask = np.zeros((len(y),), np.float32)
             wmask[:n_valid] = 1.0
-            x = jax.device_put(jnp.asarray(x), xsh)
-            y = jax.device_put(jnp.asarray(y), xsh)
-            m = val_step(state, x, y, jax.device_put(jnp.asarray(wmask), xsh))
+            x = put_global_batch(np.asarray(x), xsh)
+            y = put_global_batch(np.asarray(y), xsh)
+            m = val_step(state, x, y,
+                         put_global_batch(wmask, xsh))
             for mk in vmeters:
-                vmeters[mk].update(float(m[mk]), n_valid)
+                vmeters[mk].update(float(m[mk]), n_valid * proc_cnt)
         val_acc_top1 = vmeters["top1"].avg
         val_acc_top5 = vmeters["top5"].avg
         logging.info('Val_acc_top1: %f', val_acc_top1)
@@ -196,6 +232,8 @@ def main():
         is_best = val_acc_top1 > best_acc_top1
         if is_best:
             best_acc_top1, best_acc_top5 = val_acc_top1, val_acc_top5
+        if not is_main_process():
+            continue
         save_checkpoint({
             'epoch': epoch + 1,
             'params': to_numpy_tree(state.params),

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tfnas_tpu.cost.lut import lat_vectors_for_mc, load_lat_lookup
-from tfnas_tpu.data import DataLoader, ImageList, synthetic_loader
+from tfnas_tpu.data import (DataLoader, DevicePrefetcher, ImageList,
+                            synthetic_loader)
 from tfnas_tpu.models import search_space as ss
 from tfnas_tpu.models.supernet import SuperNetwork
 from tfnas_tpu.search.elasticity import rewrite_masks_by_l1, shrink_or_expand
@@ -31,6 +32,7 @@ from tfnas_tpu.search.parser import (get_mc_num_dddict,
                                      get_op_and_depth_weights,
                                      parse_architecture)
 from tfnas_tpu.search.train_step import (adam_init, cosine_lr_list,
+                                         make_scanned_search_iter,
                                          make_search_steps,
                                          zeros_like_momentum)
 from tfnas_tpu.utils import (AverageMeter, save_checkpoint_file,
@@ -88,6 +90,12 @@ parser.add_argument('--profile_steps', type=int, default=0,
                          'of epoch 0 into <run_dir>/profile')
 parser.add_argument('--steps_per_epoch', type=int, default=0)
 parser.add_argument('--image_size', type=int, default=224)
+parser.add_argument('--scan_units', type=int, default=1,
+                    help='K>1: run the bi-level loop as ONE compiled '
+                         'lax.scan over K units (2 bi-sampling weight steps '
+                         '+ 1 soft arch step each) per dispatch, amortizing '
+                         'host->device dispatch latency '
+                         '(make_scanned_search_iter). 1 = per-step dispatch.')
 
 
 def main():
@@ -153,12 +161,15 @@ def main():
                    for p in jax.tree_util.tree_leaves(params))
     logging.info("param size = %fMB", n_params / 1e6)
 
-    steps = make_search_steps(
-        net, num_classes=args.num_classes, w_mom=args.w_mom, w_wd=args.w_wd,
+    step_kwargs = dict(
+        num_classes=args.num_classes, w_mom=args.w_mom, w_wd=args.w_wd,
         a_lr=args.a_lr, a_beta1=args.a_beta1, a_beta2=args.a_beta2,
         a_wd=args.a_wd, grad_clip=args.grad_clip,
         lambda_lat=args.lambda_lat, target_lat=args.target_lat,
         valid_mask=net.valid_mask if hybrid else None)
+    steps = make_search_steps(net, **step_kwargs)
+    scan_run = (make_scanned_search_iter(net, arch_every=2, **step_kwargs)
+                if args.scan_units > 1 else None)
     lr_list = cosine_lr_list(args.w_lr, args.epochs)
 
     # save initial checkpoint (searched_model_00, train_search.py:98-103)
@@ -179,20 +190,27 @@ def main():
     def make_loaders():
         if args.synthetic:
             spe = args.steps_per_epoch or 100
+            val = lambda ep: synthetic_loader(
+                args.batch_size, max(spe // 4, 1), args.num_classes,
+                args.image_size, seed=10_000 + ep)
             return (lambda ep: synthetic_loader(
                         args.batch_size, spe, args.num_classes,
                         args.image_size, seed=ep),
-                    lambda ep: synthetic_loader(
-                        args.batch_size, max(spe // 4, 1), args.num_classes,
-                        args.image_size, seed=10_000 + ep))
+                    val, val)
         train_ds = ImageList(args.img_root, args.train_list, training=True,
                              image_size=args.image_size)
         val_ds = ImageList(args.img_root, args.val_list, training=False,
                            image_size=args.image_size)
         tl = DataLoader(train_ds, args.batch_size, shuffle=True,
                         num_workers=args.workers, seed=args.seed)
+        # arch-step batches: shuffled, drop_last (static shapes, sampled
+        # endlessly); final validation: padded full set so every sample is
+        # scored exactly once (reference train_search.py:435-462)
         vl = DataLoader(val_ds, args.batch_size, shuffle=True,
                         num_workers=args.workers, seed=args.seed + 1)
+        fvl = DataLoader(val_ds, args.batch_size, shuffle=False,
+                         num_workers=args.workers, seed=args.seed + 1,
+                         drop_last=False, pad_last=True)
 
         def train_iter(ep):
             tl.set_epoch(ep)
@@ -205,9 +223,12 @@ def main():
         def val_iter(ep):
             vl.set_epoch(ep)
             return iter(vl)
-        return train_iter, val_iter
 
-    train_iter, val_iter = make_loaders()
+        def full_val_iter(ep):
+            return iter(fvl)
+        return train_iter, val_iter, full_val_iter
+
+    train_iter, val_iter, full_val_iter = make_loaders()
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
     T = args.T
@@ -238,20 +259,101 @@ def main():
             pending.clear()
 
         epoch_start = time.time()
-        arch_batches = iter(val_iter(epoch)) if epoch >= args.warmup_epochs \
-            else None
+        use_scan = scan_run is not None and epoch >= args.warmup_epochs
+        if use_scan:
+            # -- scanned macro-iteration: K units of (2 weight steps + 1
+            # arch step) per compiled dispatch (make_scanned_search_iter;
+            # the reference schedule train_search.py:357-432 in one scan) --
+            K, AE = args.scan_units, 2
+            key, ek = jax.random.split(key)
+
+            def endless_arch():
+                while True:
+                    for b in val_iter(epoch):
+                        yield b
+            arch_cycle = endless_arch()
+            train_it = iter(train_iter(epoch))
+            step0, buf = 0, []
+            while True:
+                batch = next(train_it, None)
+                if batch is not None:
+                    buf.append(batch)
+                    if len(buf) < K * AE:
+                        continue
+                    # full group: one scanned dispatch
+                    bshape = buf[0][0].shape
+                    xw = jnp.asarray(np.stack([b[0] for b in buf]).reshape(
+                        K, AE, *bshape)).astype(compute_dtype)
+                    yw = jnp.asarray(np.stack([b[1] for b in buf]).reshape(
+                        K, AE, -1))
+                    pairs = [next(arch_cycle) for _ in range(K)]
+                    xa = jnp.asarray(np.stack(
+                        [p[0] for p in pairs])).astype(compute_dtype)
+                    ya = jnp.asarray(np.stack([p[1] for p in pairs]))
+                    params, mom, arch_params, opt_a, wmet, amet = scan_run(
+                        params, mom, arch_params, opt_a, masks, update_masks,
+                        xw, yw, xa, ya, lr, jnp.float32(T), lat_vec,
+                        base_lat, jnp.int32(step0), ek)
+                    n_w = K * AE * bshape[0]
+                    pending.append((n_w, {k: wmet[k].mean() for k in wmet},
+                                    ("loss", "top1", "top5")))
+                    pending.append((K * xa.shape[1],
+                                    {k: amet[k].mean() for k in amet
+                                     if k in ("loss_a", "loss_l")},
+                                    ("loss_a", "loss_l")))
+                    buf = []
+                    if (step0 // (K * AE)) % max(
+                            args.print_freq // (K * AE), 1) == 0:
+                        flush()
+                        logging.info(
+                            'TRAIN w_Arch(scan) Step: %04d Objs: %f R1: %f '
+                            'R5: %f Objs_A: %f Objs_L: %f', step0,
+                            meters["loss"].avg, meters["top1"].avg,
+                            meters["top5"].avg, meters["loss_a"].avg,
+                            meters["loss_l"].avg)
+                    step0 += K * AE
+                    continue
+                # tail: fewer than K*AE batches left — per-step dispatch,
+                # same schedule (arch step every 2nd weight step)
+                for j, (x, y) in enumerate(buf):
+                    x = jnp.asarray(x).astype(compute_dtype)
+                    y = jnp.asarray(y)
+                    key, k1 = jax.random.split(key)
+                    params, mom, m = steps.weight_step(
+                        params, arch_params, mom, masks, update_masks,
+                        x, y, lr, k1)
+                    pending.append((len(y), m, ("loss", "top1", "top5")))
+                    if (step0 + j) % 2 == 0:
+                        xa, ya = next(arch_cycle)
+                        key, k2 = jax.random.split(key)
+                        arch_params, opt_a, ma = steps.arch_step(
+                            params, arch_params, opt_a, masks,
+                            jnp.asarray(xa).astype(compute_dtype),
+                            jnp.asarray(ya), lat_vec, base_lat,
+                            jnp.float32(T), k2)
+                        pending.append((len(ya), ma, ("loss_a", "loss_l")))
+                break
+            flush()
+        # double-buffered host->device transfer: the prefetcher issues
+        # device_put `depth` batches ahead so H2D overlaps TPU compute (the
+        # pin_memory/non_blocking equivalent, ref train_search.py:331-332)
+        arch_batches = iter(DevicePrefetcher(val_iter(epoch), depth=2)) \
+            if epoch >= args.warmup_epochs and not use_scan else None
         nsteps = 0
-        profiling = (args.profile_steps > 0 and epoch == start_epoch)
+        profiling = (args.profile_steps > 0 and epoch == start_epoch
+                     and not use_scan)
         if profiling:
             jax.profiler.start_trace(f"{run_dir}/profile")
-        for step, (x, y) in enumerate(train_iter(epoch)):
+        for step, (x, y) in (
+                enumerate(DevicePrefetcher(train_iter(epoch), depth=2))
+                if not use_scan else iter(())):
             if profiling and step == args.profile_steps:
                 jax.block_until_ready(m["loss"])
                 jax.profiler.stop_trace()
                 profiling = False
                 logging.info('profiler trace written to %s/profile', run_dir)
-            x = jnp.asarray(x, compute_dtype)
-            y = jnp.asarray(y)
+            x = jnp.asarray(x, compute_dtype)  # on-device cast (x is already
+            y = jnp.asarray(y)                 # device-resident)
             key, k1 = jax.random.split(key)
             if epoch < args.warmup_epochs:
                 params, mom, m = steps.warmup_step(
@@ -265,7 +367,8 @@ def main():
                     try:
                         xa, ya = next(arch_batches)
                     except StopIteration:
-                        arch_batches = iter(val_iter(epoch))
+                        arch_batches = iter(DevicePrefetcher(val_iter(epoch),
+                                                             depth=2))
                         xa, ya = next(arch_batches)
                     key, k2 = jax.random.split(key)
                     arch_params, opt_a, ma = steps.arch_step(
@@ -303,16 +406,23 @@ def main():
         logging.info('Train_acc %f', meters["top1"].avg)
         logging.info('Epoch time: %ds', time.time() - epoch_start)
 
-        # validation for last 5 epochs (train_search.py:229-232)
+        # validation for last 5 epochs: padded full set, every sample scored
+        # once (train_search.py:229-232,435-462)
         if args.epochs - epoch < 5:
-            vmeter = AverageMeter()
-            for x, y in val_iter(epoch):
+            v1, v5 = AverageMeter(), AverageMeter()
+            for batch in full_val_iter(epoch):
+                x, y = batch[0], batch[1]
+                n_valid = batch[2] if len(batch) > 2 else len(y)
+                wmask = np.zeros((len(y),), np.float32)
+                wmask[:n_valid] = 1.0
                 key, kv = jax.random.split(key)
                 m = steps.val_step(params, arch_params, masks,
                                    jnp.asarray(x, compute_dtype),
-                                   jnp.asarray(y), kv)
-                vmeter.update(float(m["top1"]), len(y))
-            logging.info('Val_acc %f', vmeter.avg)
+                                   jnp.asarray(y), kv, jnp.asarray(wmask))
+                v1.update(float(m["top1"]), n_valid)
+                v5.update(float(m["top5"]), n_valid)
+            logging.info('Val_acc %f', v1.avg)
+            logging.info('Val_acc_top5 %f', v5.avg)
 
         # shrink / expand (train_search.py:261-307)
         if epoch >= args.warmup_epochs:

@@ -26,7 +26,9 @@ from tfnas_tpu.cost.lut import lat_vectors_for_mc, load_lat_lookup
 from tfnas_tpu.data import synthetic_loader, DataLoader, ImageList
 from tfnas_tpu.models import search_space as ss
 from tfnas_tpu.models.supernet import SuperNetwork
-from tfnas_tpu.parallel.mesh import make_mesh
+from tfnas_tpu.parallel.mesh import (host_shard, is_main_process,
+                                     make_mesh, maybe_distributed_init,
+                                     put_global_batch, put_host_replicated)
 from tfnas_tpu.parallel.pareto import (init_pareto_state,
                                        make_pareto_search_steps,
                                        reset_group_optimizers,
@@ -82,7 +84,13 @@ parser.add_argument('--image_size', type=int, default=224)
 
 def main():
     args = parser.parse_args()
-    run_dir = setup_experiment(args.save, 'pareto-search', args.note)
+    proc_idx, proc_cnt = maybe_distributed_init()
+    if is_main_process():
+        run_dir = setup_experiment(args.save, 'pareto-search', args.note)
+    else:
+        logging.basicConfig(level=logging.INFO, force=True,
+                            format=f"[host {proc_idx}] %(message)s")
+        run_dir = None
     logging.info("args = %s", args)
 
     targets = [float(t) for t in args.target_lats.split(',')]
@@ -142,16 +150,22 @@ def main():
     xsh = NamedSharding(mesh, P("pareto", "data"))
     gsh = NamedSharding(mesh, P("pareto"))
 
+    # per-host share of each group's batch (multi-host launch)
+    assert args.batch_size % proc_cnt == 0, (args.batch_size, proc_cnt)
+    local_bs = args.batch_size // proc_cnt
+
     def batches(epoch, seed_base):
         if args.synthetic:
             spe = args.steps_per_epoch or 50
-            its = [synthetic_loader(args.batch_size, spe, args.num_classes,
-                                    args.image_size, seed=seed_base + g)
+            its = [synthetic_loader(local_bs, spe, args.num_classes,
+                                    args.image_size,
+                                    seed=(seed_base + g, proc_idx))
                    for g in range(G)]
         else:
             ds = ImageList(args.img_root, args.train_list, training=True,
-                           image_size=args.image_size)
-            dl = DataLoader(ds, args.batch_size * G, shuffle=True,
+                           image_size=args.image_size,
+                           host_shard=host_shard())
+            dl = DataLoader(ds, local_bs * G, shuffle=True,
                             num_workers=args.workers, seed=seed_base)
             dl.set_epoch(epoch)
 
@@ -192,22 +206,24 @@ def main():
              for mc in group_mc_num]))
         base_lat = jnp.float32(lat_lookup["base"])
         state = reset_group_optimizers(state)
-        lr = jax.device_put(jnp.full((G,), lr_list[epoch], jnp.float32), gsh)
+        lr = put_host_replicated(jnp.full((G,), lr_list[epoch],
+                                          jnp.float32), gsh)
 
         meters = []
         for step, (xs, ys) in enumerate(batches(epoch, epoch * 1000)):
-            x = jax.device_put(jnp.asarray(xs, compute_dtype), xsh)
-            y = jax.device_put(jnp.asarray(ys, jnp.int32), xsh)
+            x = put_global_batch(np.asarray(xs, np.float32), xsh)
+            y = put_global_batch(np.asarray(ys, np.int32), xsh)
+            x = jnp.asarray(x, compute_dtype)  # on-device cast
             key, k1 = jax.random.split(key)
-            keys = jax.device_put(jax.random.split(k1, G), gsh)
+            keys = put_host_replicated(jax.random.split(k1, G), gsh)
             state, m = weight_step(state, masks, update_masks, x, y, lr,
                                    keys)
             if epoch >= args.warmup_epochs and step % 2 == 0:
                 key, k2 = jax.random.split(key)
-                keys = jax.device_put(jax.random.split(k2, G), gsh)
+                keys = put_host_replicated(jax.random.split(k2, G), gsh)
                 state, ma = arch_step(
                     state, masks, x, y, lat_vec, base_lat,
-                    jax.device_put(jnp.asarray(T), gsh), keys)
+                    put_host_replicated(jnp.asarray(T), gsh), keys)
             meters.append(m)
             if step % args.print_freq == 0:
                 logging.info('TRAIN Step %04d loss %s', step,
@@ -233,6 +249,8 @@ def main():
                     parsed, mc_num, group_masks[g], params_g)
                 logging.info('group %d (target %.3f): lat %.4f -> %.4f',
                              g, targets[g], before, after)
+            if not is_main_process():
+                continue
             save_checkpoint_file({
                 "params": jax.tree_util.tree_map(lambda a: a[g],
                                                  host_state.params),
