@@ -80,3 +80,60 @@ def test_hue_rotation_roundtrip():
     x = rng.random((8, 8, 3)).astype(np.float32)
     y = adjust_hue(adjust_hue(x, 0.25), -0.25)
     np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+def test_jpeg_size_pure_python():
+    from tfnas_tpu.data.imagelist import jpeg_size
+    for (w, h) in [(120, 80), (97, 211)]:
+        data = make_jpeg(w=w, h=h)
+        assert jpeg_size(data) == (w, h) == native.image_size(data)
+    with pytest.raises(ValueError):
+        jpeg_size(b"\x89PNG not a jpeg")
+
+
+def test_batch_decode_augment_matches_per_image(tmp_path):
+    """get_batch (one C call per batch) == sequential get() calls with the
+    same rng — pixels and rng consumption identical."""
+    from tfnas_tpu.data import ImageList
+
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"img_{i}.jpg"
+        p.write_bytes(make_jpeg(w=90 + 7 * i, h=70 + 5 * i, seed=i))
+        paths.append(p.name)
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(f"{p} {i % 3}" for i, p in enumerate(paths)))
+
+    for training in (True, False):
+        ds = ImageList(str(tmp_path), str(lst), training=training,
+                       image_size=32)
+        assert ds.use_native
+        r1, r2 = (np.random.default_rng(5) for _ in range(2))
+        xs, ys = ds.get_batch(list(range(5)), r1)
+        for j in range(5):
+            x, y = ds.get(j, r2)
+            assert y == ys[j]
+            np.testing.assert_array_equal(x, xs[j])
+        # rng streams consumed identically
+        assert r1.random() == r2.random()
+
+
+def test_batch_fallback_for_corrupt_entry(tmp_path):
+    """A non-JPEG entry in a batch falls back to PIL decode + native
+    augment; the rest of the batch is unaffected."""
+    from PIL import Image
+    from tfnas_tpu.data import ImageList
+
+    (tmp_path / "good.jpg").write_bytes(make_jpeg(seed=1))
+    img = np.zeros((50, 60, 3), np.uint8)
+    img[:, :, 0] = 200
+    Image.fromarray(img).save(tmp_path / "bad.png")  # PNG with .png name
+    lst = tmp_path / "list.txt"
+    lst.write_text("good.jpg 0\nbad.png 1\n")
+
+    ds = ImageList(str(tmp_path), str(lst), training=True, image_size=32)
+    xs, ys = ds.get_batch([0, 1], np.random.default_rng(0))
+    assert list(ys) == [0, 1]
+    assert np.all(np.isfinite(xs))
+    # the PNG is solid red: after normalize, red channel >> green channel
+    assert xs[1, :, :, 0].mean() > xs[1, :, :, 1].mean()

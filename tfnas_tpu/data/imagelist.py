@@ -45,6 +45,34 @@ def pil_loader(path):
         return img.convert("RGB").copy()
 
 
+def jpeg_size(data):
+    """(width, height) from a JPEG byte buffer, pure Python (SOF marker
+    scan). Used on the batch path so dimension probing never releases the
+    GIL — a ctypes call per image from loader threads pays up to a full
+    GIL switch interval (~5 ms) on reacquire when another thread runs
+    Python. Raises ValueError for non-JPEG data."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG")
+    i = 2
+    n = len(data)
+    while i + 9 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = (data[i + 2] << 8) | data[i + 3]
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry the frame dims
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = (data[i + 5] << 8) | data[i + 6]
+            w = (data[i + 7] << 8) | data[i + 8]
+            return w, h
+        i += 2 + seg_len
+    raise ValueError("no SOF marker found")
+
+
 class ImageList:
     """Map-style dataset (dataset/dataset.py:32-49)."""
 
@@ -103,6 +131,58 @@ class ImageList:
             x = val_transform(img, crop=self.image_size)
         return x, target
 
+    def get_batch(self, indices, rng):
+        """Whole-batch native load: all file reads + rng sampling in Python
+        (same per-image rng call sequence as get(), so shuffling/augment
+        draws are identical), then ONE C call decodes + augments the batch
+        (native.decode_augment_*_batch — one GIL round trip per batch
+        instead of ~6 per image, which otherwise serializes loader threads
+        via the GIL convoy effect). Returns (xs [n,S,S,3] f32, ys [n] i32).
+
+        Non-JPEG/corrupt entries fall back to PIL decode + the same native
+        augment with the already-sampled parameters."""
+        n = len(indices)
+        ys = np.empty((n,), np.int32)
+        datas, boxes, flips, orders, factors = [], [], [], [], []
+        pil_imgs = {}
+        for j, index in enumerate(indices):
+            img_path, ys[j] = self.img_list[index]
+            path = os.path.join(self.root, img_path)
+            with open(path, "rb") as f:
+                datas.append(f.read())
+            if self.training:
+                try:
+                    w, h = jpeg_size(datas[-1])
+                except ValueError:
+                    pil_imgs[j] = self.loader(path)
+                    w, h = pil_imgs[j].size
+                boxes.append(sample_rrc_box(w, h, rng))
+                flips.append(rng.random() < 0.5)
+                order, facs = sample_jitter(rng)
+                orders.append(order)
+                factors.append(facs)
+        if self.training:
+            xs, status = native.decode_augment_train_batch(
+                datas, boxes, self.image_size, flips, orders, factors,
+                IMAGENET_MEAN, IMAGENET_STD)
+        else:
+            xs, status = native.decode_augment_val_batch(
+                datas, 256, self.image_size, IMAGENET_MEAN, IMAGENET_STD)
+        for j in np.nonzero(status)[0]:
+            img = pil_imgs.get(j)
+            if img is None:
+                img_path = self.img_list[indices[j]][0]
+                img = self.loader(os.path.join(self.root, img_path))
+            arr = np.asarray(img, np.uint8)
+            if self.training:
+                xs[j] = native.augment_train_from_array(
+                    arr, boxes[j], self.image_size, flips[j], orders[j],
+                    factors[j], IMAGENET_MEAN, IMAGENET_STD)
+            else:
+                xs[j] = native.augment_val(arr, 256, self.image_size,
+                                           IMAGENET_MEAN, IMAGENET_STD)
+        return xs, ys
+
 
 class DataLoader:
     """Threaded batch loader: shuffle per epoch, drop_last for static shapes
@@ -118,7 +198,10 @@ class DataLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.num_workers = max(1, num_workers)
+        # more loader threads than cores actively hurts (GIL convoy between
+        # the threads' Python sections; measured 5x slower at 2 threads on a
+        # 1-core host) — cap at the core count
+        self.num_workers = max(1, min(num_workers, os.cpu_count() or 1))
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
@@ -147,13 +230,16 @@ class DataLoader:
             if self.pad_last and n_valid < self.batch_size:
                 idxs = np.concatenate(
                     [idxs, np.full(self.batch_size - n_valid, idxs[-1])])
-            xs = np.empty((len(idxs), self.dataset.image_size,
-                           self.dataset.image_size, 3), np.float32)
-            ys = np.empty((len(idxs),), np.int32)
             sub = np.random.default_rng((self.seed, self.epoch, bi))
-            for j, i in enumerate(idxs):
-                x, y = self.dataset.get(int(i), sub)
-                xs[j], ys[j] = x, y
+            if getattr(self.dataset, "use_native", False):
+                xs, ys = self.dataset.get_batch([int(i) for i in idxs], sub)
+            else:
+                xs = np.empty((len(idxs), self.dataset.image_size,
+                               self.dataset.image_size, 3), np.float32)
+                ys = np.empty((len(idxs),), np.int32)
+                for j, i in enumerate(idxs):
+                    x, y = self.dataset.get(int(i), sub)
+                    xs[j], ys[j] = x, y
             if self.pad_last:
                 return xs, ys, n_valid
             return xs, ys
@@ -161,17 +247,31 @@ class DataLoader:
         def producer():
             # bounded sliding window of in-flight batches
             window = self.num_workers + self.prefetch
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                futs = {}
-                nxt = 0
-                for bi in range(nb):
-                    while nxt < nb and len(futs) < window:
-                        futs[nxt] = pool.submit(load_batch, nxt)
-                        nxt += 1
-                    if stop.is_set():
-                        break
-                    q.put(futs.pop(bi).result())
-            q.put(None)
+            def put(item):
+                # bounded put that gives up when the consumer is gone, so
+                # an abandoned iterator can't leave this thread blocked
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        return True
+                    except queue.Full:
+                        pass
+                return False
+
+            try:
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    futs = {}
+                    nxt = 0
+                    for bi in range(nb):
+                        while nxt < nb and len(futs) < window:
+                            futs[nxt] = pool.submit(load_batch, nxt)
+                            nxt += 1
+                        if stop.is_set() or not put(futs.pop(bi).result()):
+                            break
+            except RuntimeError:
+                if not stop.is_set():  # benign: consumer closed mid-epoch
+                    raise
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -62,6 +62,16 @@ def _load():
                 u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 i32p, f32p, f32p, f32p, f32p]
+            u8pp = ctypes.POINTER(u8p)
+            szp = ctypes.POINTER(ctypes.c_size_t)
+            lib.tfnas_decode_augment_train_batch.restype = ctypes.c_int
+            lib.tfnas_decode_augment_train_batch.argtypes = [
+                u8pp, szp, ctypes.c_int, i32p, ctypes.c_int, i32p, i32p,
+                f32p, f32p, f32p, f32p, i32p, ctypes.c_int]
+            lib.tfnas_decode_augment_val_batch.restype = ctypes.c_int
+            lib.tfnas_decode_augment_val_batch.argtypes = [
+                u8pp, szp, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                f32p, f32p, f32p, i32p, ctypes.c_int]
             _lib = lib
         except Exception:
             _failed = True
@@ -151,6 +161,71 @@ def augment_train_from_array(img, crop_box, out_size, flip, order, factors,
     if rc != 0:
         raise ValueError(f"native augment failed (rc={rc})")
     return out
+
+
+def _ptr_array(datas):
+    """(uint8** array, size_t* array, keepalive buffers) for a list of
+    bytes objects."""
+    n = len(datas)
+    bufs = [np.frombuffer(d, np.uint8) for d in datas]
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(
+        *[_ptr(b, ctypes.c_uint8) for b in bufs])
+    lens = (ctypes.c_size_t * n)(*[len(d) for d in datas])
+    return ptrs, lens, bufs
+
+
+def native_threads():
+    """Intra-batch C++ worker threads (TFNAS_NATIVE_THREADS, default 1 —
+    batch-level parallelism comes from the DataLoader's thread pool; raise
+    this on many-core hosts where decode is the bottleneck)."""
+    return int(os.environ.get("TFNAS_NATIVE_THREADS", "1"))
+
+
+def decode_augment_train_batch(datas, boxes, out_size, flips, orders,
+                               factors, mean, std, n_threads=None):
+    """Whole-batch decode + fused train augment in ONE C call (one GIL
+    release per batch — per-image ctypes calls from loader threads hit the
+    GIL convoy effect). Returns (out [n,S,S,3] float32, status [n] int32;
+    status != 0 marks images needing the PIL fallback)."""
+    lib = _load()
+    n = len(datas)
+    ptrs, lens, bufs = _ptr_array(datas)
+    boxes = np.ascontiguousarray(boxes, np.int32)
+    flips = np.ascontiguousarray(flips, np.int32)
+    orders_arr = np.full((n, 4), -1, np.int32)
+    for i, o in enumerate(orders):
+        orders_arr[i, :len(o)] = o
+    factors = np.ascontiguousarray(factors, np.float32)
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    out = np.empty((n, out_size, out_size, 3), np.float32)
+    status = np.empty((n,), np.int32)
+    lib.tfnas_decode_augment_train_batch(
+        ptrs, lens, n, _ptr(boxes, ctypes.c_int), out_size,
+        _ptr(flips, ctypes.c_int), _ptr(orders_arr, ctypes.c_int),
+        _ptr(factors, ctypes.c_float), _ptr(mean, ctypes.c_float),
+        _ptr(std, ctypes.c_float), _ptr(out, ctypes.c_float),
+        _ptr(status, ctypes.c_int),
+        native_threads() if n_threads is None else n_threads)
+    return out, status
+
+
+def decode_augment_val_batch(datas, resize, crop, mean, std, n_threads=None):
+    """Whole-batch decode + fused val transform in ONE C call. Returns
+    (out [n,crop,crop,3] float32, status [n] int32)."""
+    lib = _load()
+    n = len(datas)
+    ptrs, lens, bufs = _ptr_array(datas)
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    out = np.empty((n, crop, crop, 3), np.float32)
+    status = np.empty((n,), np.int32)
+    lib.tfnas_decode_augment_val_batch(
+        ptrs, lens, n, resize, crop, _ptr(mean, ctypes.c_float),
+        _ptr(std, ctypes.c_float), _ptr(out, ctypes.c_float),
+        _ptr(status, ctypes.c_int),
+        native_threads() if n_threads is None else n_threads)
+    return out, status
 
 
 def augment_val(img, resize, crop, mean, std):

@@ -14,14 +14,42 @@
 // All functions return 0 on success.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #include <jpeglib.h>
+
+// Work-stealing-free static dispatcher: images are independent; an atomic
+// counter hands out indices to n_threads workers (n_threads == 1 runs
+// inline with zero thread overhead).
+static void run_batch_impl(int n, int n_threads,
+                           void (*fn)(int, void*), void* ctx) {
+  if (n_threads <= 1 || n <= 1) {
+    for (int i = 0; i < n; ++i) fn(i, ctx);
+    return;
+  }
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      fn(i, ctx);
+    }
+  };
+  const int t = std::min(n_threads, n);
+  std::vector<std::thread> threads;
+  threads.reserve(t - 1);
+  for (int k = 0; k < t - 1; ++k) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+}
 
 extern "C" {
 
@@ -272,6 +300,87 @@ int tfnas_decode_augment_train(const uint8_t* data, size_t len, int cx,
                                       flip, order, factors, mean, stdv, out);
   free(img);
   return rc2;
+}
+
+// ---- batch entry points ----------------------------------------------
+//
+// One C call per BATCH instead of per image: a Python caller pays one
+// GIL release/acquire per batch, which eliminates the GIL convoy effect
+// that throttles per-image ctypes calls from loader threads (measured
+// 6-20x loader slowdown on a single-core host). n_threads > 1 splits the
+// batch across std::threads for multicore hosts.
+
+static void run_batch(int n, int n_threads, void (*fn)(int, void*),
+                      void* ctx) {
+  run_batch_impl(n, n_threads, fn, ctx);
+}
+
+struct TrainBatchCtx {
+  const uint8_t* const* datas;
+  const size_t* lens;
+  const int* boxes;     // [n,4] (cx, cy, cw, ch)
+  int out_size;
+  const int* flips;     // [n]
+  const int* orders;    // [n,4]
+  const float* factors; // [n,4]
+  const float* mean;
+  const float* stdv;
+  float* out;           // [n, out_size, out_size, 3]
+  int* status;          // [n]
+};
+
+static void train_batch_one(int i, void* vctx) {
+  TrainBatchCtx* c = static_cast<TrainBatchCtx*>(vctx);
+  const int* b = c->boxes + 4 * i;
+  c->status[i] = tfnas_decode_augment_train(
+      c->datas[i], c->lens[i], b[0], b[1], b[2], b[3], c->out_size,
+      c->flips[i], c->orders + 4 * i, c->factors + 4 * i, c->mean, c->stdv,
+      c->out + static_cast<size_t>(i) * c->out_size * c->out_size * 3);
+}
+
+int tfnas_decode_augment_train_batch(
+    const uint8_t* const* datas, const size_t* lens, int n, const int* boxes,
+    int out_size, const int* flips, const int* orders, const float* factors,
+    const float* mean, const float* stdv, float* out, int* status,
+    int n_threads) {
+  TrainBatchCtx ctx{datas, lens, boxes, out_size, flips,
+                    orders, factors, mean, stdv, out, status};
+  run_batch(n, n_threads, train_batch_one, &ctx);
+  return 0;
+}
+
+struct ValBatchCtx {
+  const uint8_t* const* datas;
+  const size_t* lens;
+  int resize;
+  int crop;
+  const float* mean;
+  const float* stdv;
+  float* out;           // [n, crop, crop, 3]
+  int* status;          // [n]
+};
+
+static void val_batch_one(int i, void* vctx) {
+  ValBatchCtx* c = static_cast<ValBatchCtx*>(vctx);
+  uint8_t* img = nullptr;
+  int w = 0, h = 0;
+  int rc = tfnas_decode_jpeg(c->datas[i], c->lens[i], &img, &w, &h);
+  if (rc == 0) {
+    rc = tfnas_augment_val(
+        img, w, h, c->resize, c->crop, c->mean, c->stdv,
+        c->out + static_cast<size_t>(i) * c->crop * c->crop * 3);
+    free(img);
+  }
+  c->status[i] = rc;
+}
+
+int tfnas_decode_augment_val_batch(
+    const uint8_t* const* datas, const size_t* lens, int n, int resize,
+    int crop, const float* mean, const float* stdv, float* out, int* status,
+    int n_threads) {
+  ValBatchCtx ctx{datas, lens, resize, crop, mean, stdv, out, status};
+  run_batch(n, n_threads, val_batch_one, &ctx);
+  return 0;
 }
 
 int tfnas_image_size(const uint8_t* data, size_t len, int* width,
