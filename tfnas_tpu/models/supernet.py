@@ -837,8 +837,8 @@ class SuperNetwork:
         structure."""
         return self._mb_device_masks(mc_mask_dddict)
 
-    def _mb_device_masks(self, mc_mask_dddict):
-        """Stacked padded [8, W] MBConv mask arrays per block."""
+    def _host_stacked_masks(self, mc_mask_dddict):
+        """Stacked padded [8, W] MBConv mask arrays per block (host numpy)."""
         out = {}
         for site in self.sites:
             W = site.width
@@ -847,15 +847,29 @@ class SuperNetwork:
                 m = np.asarray(mc_mask_dddict[site.stage][site.block][o],
                                np.float32)
                 stacked[o, :m.shape[0]] = m
-            out.setdefault(site.stage, {})[site.block] = jnp.asarray(stacked)
+            out.setdefault(site.stage, {})[site.block] = stacked
         return out
+
+    def _mb_device_masks(self, mc_mask_dddict):
+        """Stacked padded [8, W] MBConv mask arrays per block."""
+        return jax.device_put(self._host_stacked_masks(mc_mask_dddict))
 
     def update_masks(self, params, mc_mask_dddict):
         """Pytree shaped like `params` that zeroes optimizer updates to
         masked-out and padded entries, so inactive rows stay exactly frozen
         (reference full-width checkpoint semantics, train_search.py:234-259)
-        and the canonical-shape padding stays exactly zero."""
-        dev = self._mb_device_masks(mc_mask_dddict)
+        and the canonical-shape padding stays exactly zero.
+
+        The whole mask tree is built inside ONE jitted program: on a
+        tunneled device link each eagerly-dispatched op is a separate
+        remote compile (~1s), and the per-leaf broadcasts here would
+        otherwise cost minutes of start-up."""
+        host = self._host_stacked_masks(mc_mask_dddict)
+        if getattr(self, "_um_fn", None) is None:
+            self._um_fn = jax.jit(self._build_update_masks)
+        return self._um_fn(host, params)
+
+    def _build_update_masks(self, dev, params):
         site_by = {(s.stage, s.block): s for s in self.sites}
 
         def resolve(path, leaf):

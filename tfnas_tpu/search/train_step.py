@@ -64,7 +64,8 @@ class AdamState(NamedTuple):
     nu: Any
 
 
-def adam_init(params):
+@jax.jit  # one compiled program, not one tiny dispatch per leaf (each
+def adam_init(params):  # eager dispatch is a remote compile on a tunnel)
     z = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params)
     return AdamState(step=jnp.zeros((), jnp.int32), mu=z,
                      nu=jax.tree_util.tree_map(jnp.copy, z))
@@ -271,6 +272,7 @@ def make_scanned_search_iter(net, *, num_classes, arch_every=2, **kw):
     return run
 
 
+@jax.jit  # see adam_init: single program, not per-leaf dispatches
 def zeros_like_momentum(params):
     return jax.tree_util.tree_map(
         lambda p: jnp.zeros_like(p, jnp.float32), params)

@@ -24,12 +24,41 @@ import numpy as np
 
 def to_numpy_tree(tree):
     """Pull device arrays to host numpy; leave non-array leaves (strings,
-    ints, config dict values) untouched."""
-    def conv(x):
-        if isinstance(x, (jax.Array, np.ndarray)):
-            return np.asarray(x)
-        return x
-    return jax.tree_util.tree_map(conv, tree)
+    ints, config dict values) untouched.
+
+    Device leaves are PACKED into one flat array per dtype on device, pulled
+    in a single transfer each, and split back on the host. On a tunneled
+    device link every distinct device->host transfer costs a full round trip
+    (~150 ms measured) regardless of size — pulling a 200-leaf parameter
+    tree leaf-by-leaf serializes into minutes, while one packed 376 MB
+    transfer takes seconds. The packing itself is ONE jitted program per
+    dtype group — per-leaf eager reshapes would each be a separate remote
+    compile on the same link."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = list(leaves)
+    groups = {}
+    for i, x in enumerate(leaves):
+        if isinstance(x, jax.Array):
+            groups.setdefault(np.dtype(x.dtype), []).append(i)
+        elif isinstance(x, np.ndarray):
+            out[i] = np.asarray(x)
+    for dt, idxs in groups.items():
+        if len(idxs) == 1:
+            out[idxs[0]] = np.asarray(leaves[idxs[0]])
+            continue
+        host = np.asarray(_pack([leaves[i] for i in idxs]))  # ONE transfer
+        off = 0
+        for i in idxs:
+            n = leaves[i].size
+            out[i] = host[off:off + n].reshape(leaves[i].shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+@jax.jit
+def _pack(leaves):
+    import jax.numpy as jnp
+    return jnp.concatenate([l.reshape(-1) for l in leaves])
 
 
 def save_checkpoint_file(obj, path):

@@ -181,20 +181,26 @@ def main():
 
     xsh = batch_sharding(mesh)
 
+    # Metrics accumulate ON DEVICE as [loss*n, top1*n, top5*n, n] sums and
+    # are pulled in ONE transfer per log line: on a tunneled device link
+    # every distinct device->host pull costs a full round trip (~150 ms),
+    # so per-step (or even deferred per-scalar) pulls dominate step time.
+    @jax.jit
+    def _acc3(acc, m, n):
+        return acc + jnp.stack(
+            [m["loss"] * n, m["top1"] * n, m["top5"] * n, n])
+
+    def _avg3(acc):
+        a = np.asarray(acc)  # the single pull
+        n = max(a[3], 1.0)
+        return a[0] / n, a[1] / n, a[2] / n
+
     for epoch in range(start_epoch, args.epochs):
         lr = cosine_lr_with_warmup(args.lr, args.epochs, epoch,
                                    args.batch_size)
         logging.info('Epoch: %d lr %e', epoch, lr)
-        meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
-        pending = []  # (n, device metrics) — flushed lazily so the meters
-                      # cover EVERY step (reference train_eval.py:253-261)
-                      # without forcing a host sync per step
-
-        def flush():
-            for n_, m_ in pending:
-                for mk in meters:
-                    meters[mk].update(float(m_[mk]), n_)
-            pending.clear()
+        # device-side sums cover EVERY step (reference train_eval.py:253-261)
+        macc = jnp.zeros((4,), jnp.float32)
 
         epoch_start = time.time()
         # prefetcher double-buffers sharded H2D transfers ahead of compute
@@ -202,16 +208,15 @@ def main():
                 DevicePrefetcher(train_iter(epoch), depth=2, sharding=xsh)):
             key, k1 = jax.random.split(key)
             state, m = train_step(state, x, y, jnp.float32(lr), k1)
-            pending.append((len(y), m))
+            macc = _acc3(macc, m, jnp.float32(len(y)))
             if step % args.print_freq == 0:
-                flush()
+                loss_a, top1_a, top5_a = _avg3(macc)
                 logging.info('TRAIN Step: %03d Objs: %e R1: %f R5: %f',
-                             step, meters["loss"].avg, meters["top1"].avg,
-                             meters["top5"].avg)
-        flush()
-        logging.info('Train_acc: %f', meters["top1"].avg)
+                             step, loss_a, top1_a, top5_a)
+        _, train_top1, _ = _avg3(macc)
+        logging.info('Train_acc: %f', train_top1)
 
-        vmeters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
+        vacc = jnp.zeros((4,), jnp.float32)
         for step, batch in enumerate(val_iter(epoch)):
             x, y = batch[0], batch[1]
             n_valid = batch[2] if len(batch) > 2 else len(y)
@@ -221,10 +226,8 @@ def main():
             y = put_global_batch(np.asarray(y), xsh)
             m = val_step(state, x, y,
                          put_global_batch(wmask, xsh))
-            for mk in vmeters:
-                vmeters[mk].update(float(m[mk]), n_valid * proc_cnt)
-        val_acc_top1 = vmeters["top1"].avg
-        val_acc_top5 = vmeters["top5"].avg
+            vacc = _acc3(vacc, m, jnp.float32(n_valid * proc_cnt))
+        val_loss, val_acc_top1, val_acc_top5 = _avg3(vacc)
         logging.info('Val_acc_top1: %f', val_acc_top1)
         logging.info('Val_acc_top5: %f', val_acc_top5)
         logging.info('Epoch time: %ds.', time.time() - epoch_start)

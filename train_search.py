@@ -15,8 +15,12 @@ Extra flags beyond the reference:
 """
 
 import argparse
+import faulthandler
 import logging
+import signal
 import time
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 import jax
 import jax.numpy as jnp
@@ -144,7 +148,9 @@ def main():
            else SuperNetwork(args.num_classes))
     key = jax.random.PRNGKey(args.seed)
     key, init_key = jax.random.split(key)
-    params, arch_params = net.init(init_key)
+    # one compiled program instead of ~200 individually-dispatched inits
+    # (each dispatch pays a remote-compile/round-trip on a tunneled link)
+    params, arch_params = jax.jit(net.init)(init_key)
 
     start_epoch = 0
     if args.resume:
@@ -168,20 +174,68 @@ def main():
         lambda_lat=args.lambda_lat, target_lat=args.target_lat,
         valid_mask=net.valid_mask if hybrid else None)
     steps = make_search_steps(net, **step_kwargs)
+
+    @jax.jit
+    def _acc_w(acc, m):
+        return acc + jnp.zeros((7,), jnp.float32) \
+            .at[0].set(m["loss"]).at[1].set(m["top1"]) \
+            .at[2].set(m["top5"]).at[5].set(1.0)
+
+    @jax.jit
+    def _acc_a(acc, ma):
+        return acc + jnp.zeros((7,), jnp.float32) \
+            .at[3].set(ma["loss_a"]).at[4].set(ma["loss_l"]).at[6].set(1.0)
+
+    @jax.jit
+    def _acc_val(acc, m, n):
+        return acc + jnp.stack([m["top1"] * n, m["top5"] * n, n])
+
+    @jax.jit
+    def _acc_scan(acc, wmet, amet):
+        return acc + jnp.zeros((7,), jnp.float32) \
+            .at[0].set(jnp.sum(wmet["loss"])) \
+            .at[1].set(jnp.sum(wmet["top1"])) \
+            .at[2].set(jnp.sum(wmet["top5"])) \
+            .at[3].set(jnp.sum(amet["loss_a"])) \
+            .at[4].set(jnp.sum(amet["loss_l"])) \
+            .at[5].set(wmet["loss"].size).at[6].set(amet["loss_a"].size)
     scan_run = (make_scanned_search_iter(net, arch_every=2, **step_kwargs)
                 if args.scan_units > 1 else None)
     lr_list = cosine_lr_list(args.w_lr, args.epochs)
 
-    # save initial checkpoint (searched_model_00, train_search.py:98-103)
+    # save initial checkpoint (searched_model_00, train_search.py:98-103).
+    # The save pipeline: snapshot params on DEVICE (cheap HBM copy), then a
+    # background thread pulls + pickles while training continues — a 94M-
+    # param pull through the tunneled device link takes minutes and would
+    # otherwise stall every epoch boundary.
+    import copy as _copy
+    import threading as _threading
+    save_state = {"thread": None}
+    # ONE jitted copy program (the train steps donate their param buffers,
+    # so the snapshot must be a real copy; per-leaf jnp.copy would be ~200
+    # separate remote compiles)
+    _snap = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
+
     def save_epoch(epoch, T):
         path = f"{run_dir}/searched_model_{epoch:02d}.pkl"
-        save_checkpoint_file({
-            "params": to_numpy_tree(params),
-            "arch_params": to_numpy_tree(arch_params),
-            "mc_mask_dddict": mc_mask_dddict,
-            "epoch": epoch,
-            "T": T,
-        }, path)
+        if save_state["thread"] is not None:
+            save_state["thread"].join()
+        snap_p = _snap(params)
+        snap_a = _snap(arch_params)
+        snap_m = _copy.deepcopy(mc_mask_dddict)
+
+        def work():
+            save_checkpoint_file({
+                "params": to_numpy_tree(snap_p),
+                "arch_params": to_numpy_tree(snap_a),
+                "mc_mask_dddict": snap_m,
+                "epoch": epoch,
+                "T": T,
+            }, path)
+
+        t = _threading.Thread(target=work, daemon=False)
+        t.start()
+        save_state["thread"] = t
         return path
 
     save_epoch(0, args.T)
@@ -247,16 +301,18 @@ def main():
         lr = jnp.float32(lr_list[epoch])
         logging.info('Epoch: %d lr: %e T: %e', epoch, float(lr), T)
 
-        meters = {k: AverageMeter() for k in
-                  ("loss", "top1", "top5", "loss_a", "loss_l")}
-        pending = []  # (n, metrics) device-side, flushed lazily to avoid
-                      # forcing a host sync every step
+        # Metrics accumulate ON DEVICE in one [7] vector
+        # [loss, top1, top5, loss_a, loss_l sums; weight-step count;
+        # arch-step count] and are pulled in ONE transfer per log line:
+        # on a tunneled device link every distinct device->host pull costs
+        # a full round trip (~150 ms measured), so per-step (or even
+        # deferred per-scalar) pulls would dominate the step time.
+        macc = jnp.zeros((7,), jnp.float32)
 
-        def flush():
-            for n_, m_, keys_ in pending:
-                for k_ in keys_:
-                    meters[k_].update(float(m_[k_]), n_)
-            pending.clear()
+        def mavg(a):
+            nw, na = max(a[5], 1.0), max(a[6], 1.0)
+            return {"loss": a[0] / nw, "top1": a[1] / nw, "top5": a[2] / nw,
+                    "loss_a": a[3] / na, "loss_l": a[4] / na}
 
         epoch_start = time.time()
         use_scan = scan_run is not None and epoch >= args.warmup_epochs
@@ -294,23 +350,16 @@ def main():
                         params, mom, arch_params, opt_a, masks, update_masks,
                         xw, yw, xa, ya, lr, jnp.float32(T), lat_vec,
                         base_lat, jnp.int32(step0), ek)
-                    n_w = K * AE * bshape[0]
-                    pending.append((n_w, {k: wmet[k].mean() for k in wmet},
-                                    ("loss", "top1", "top5")))
-                    pending.append((K * xa.shape[1],
-                                    {k: amet[k].mean() for k in amet
-                                     if k in ("loss_a", "loss_l")},
-                                    ("loss_a", "loss_l")))
+                    macc = _acc_scan(macc, wmet, amet)
                     buf = []
                     if (step0 // (K * AE)) % max(
                             args.print_freq // (K * AE), 1) == 0:
-                        flush()
+                        avg = mavg(np.asarray(macc))
                         logging.info(
                             'TRAIN w_Arch(scan) Step: %04d Objs: %f R1: %f '
                             'R5: %f Objs_A: %f Objs_L: %f', step0,
-                            meters["loss"].avg, meters["top1"].avg,
-                            meters["top5"].avg, meters["loss_a"].avg,
-                            meters["loss_l"].avg)
+                            avg["loss"], avg["top1"], avg["top5"],
+                            avg["loss_a"], avg["loss_l"])
                     step0 += K * AE
                     continue
                 # tail: fewer than K*AE batches left — per-step dispatch,
@@ -322,7 +371,7 @@ def main():
                     params, mom, m = steps.weight_step(
                         params, arch_params, mom, masks, update_masks,
                         x, y, lr, k1)
-                    pending.append((len(y), m, ("loss", "top1", "top5")))
+                    macc = _acc_w(macc, m)
                     if (step0 + j) % 2 == 0:
                         xa, ya = next(arch_cycle)
                         key, k2 = jax.random.split(key)
@@ -331,9 +380,8 @@ def main():
                             jnp.asarray(xa).astype(compute_dtype),
                             jnp.asarray(ya), lat_vec, base_lat,
                             jnp.float32(T), k2)
-                        pending.append((len(ya), ma, ("loss_a", "loss_l")))
+                        macc = _acc_a(macc, ma)
                 break
-            flush()
         # double-buffered host->device transfer: the prefetcher issues
         # device_put `depth` batches ahead so H2D overlaps TPU compute (the
         # pin_memory/non_blocking equivalent, ref train_search.py:331-332)
@@ -344,9 +392,25 @@ def main():
                      and not use_scan)
         if profiling:
             jax.profiler.start_trace(f"{run_dir}/profile")
-        for step, (x, y) in (
-                enumerate(DevicePrefetcher(train_iter(epoch), depth=2))
-                if not use_scan else iter(())):
+        import os as _os
+        timing = _os.environ.get("TFNAS_STEP_TIMING", "") == "1"
+
+        def _timed(it):
+            t_prev = time.perf_counter()
+            for item in it:
+                t_fetch = time.perf_counter()
+                yield item
+                t_done = time.perf_counter()
+                logging.info("timing: fetch %.0fms dispatch %.0fms",
+                             (t_fetch - t_prev) * 1000,
+                             (t_done - t_fetch) * 1000)
+                t_prev = t_done
+
+        _train_it = (DevicePrefetcher(train_iter(epoch), depth=2)
+                     if not use_scan else iter(()))
+        if timing and not use_scan:
+            _train_it = _timed(_train_it)
+        for step, (x, y) in enumerate(_train_it):
             if profiling and step == args.profile_steps:
                 jax.block_until_ready(m["loss"])
                 jax.profiler.stop_trace()
@@ -375,23 +439,22 @@ def main():
                         params, arch_params, opt_a, masks,
                         jnp.asarray(xa, compute_dtype), jnp.asarray(ya),
                         lat_vec, base_lat, jnp.float32(T), k2)
-                    pending.append((len(ya), ma, ("loss_a", "loss_l")))
-            pending.append((len(y), m, ("loss", "top1", "top5")))
+                    macc = _acc_a(macc, ma)
+            macc = _acc_w(macc, m)
             nsteps += 1
             if step % args.print_freq == 0:
-                flush()
+                avg = mavg(np.asarray(macc))  # ONE device->host pull
                 logging.info(
                     'TRAIN%s Step: %04d Objs: %f R1: %f R5: %f Objs_A: %f Objs_L: %f',
                     ' wo_Arch' if epoch < args.warmup_epochs else ' w_Arch',
-                    step, meters["loss"].avg, meters["top1"].avg,
-                    meters["top5"].avg, meters["loss_a"].avg,
-                    meters["loss_l"].avg)
+                    step, avg["loss"], avg["top1"], avg["top5"],
+                    avg["loss_a"], avg["loss_l"])
 
         if profiling:
             jax.block_until_ready(m["loss"])
             jax.profiler.stop_trace()
             logging.info('profiler trace written to %s/profile', run_dir)
-        flush()
+        epoch_avg = mavg(np.asarray(macc))
         if epoch >= args.warmup_epochs:
             T *= args.T_decay
 
@@ -403,13 +466,15 @@ def main():
             b = np.asarray(arch_params["betas"][stage])
             sm = np.exp(b - b.max());  sm = sm / sm.sum()
             logging.info(' '.join(f'{p:.6f}' for p in sm))
-        logging.info('Train_acc %f', meters["top1"].avg)
+        logging.info('Train_acc %f', epoch_avg["top1"])
         logging.info('Epoch time: %ds', time.time() - epoch_start)
 
         # validation for last 5 epochs: padded full set, every sample scored
         # once (train_search.py:229-232,435-462)
         if args.epochs - epoch < 5:
-            v1, v5 = AverageMeter(), AverageMeter()
+            # accumulate [top1*n, top5*n, n] on device; ONE pull at the end
+            # (each distinct device->host pull costs a full relay RTT)
+            vacc = jnp.zeros((3,), jnp.float32)
             for batch in full_val_iter(epoch):
                 x, y = batch[0], batch[1]
                 n_valid = batch[2] if len(batch) > 2 else len(y)
@@ -419,10 +484,10 @@ def main():
                 m = steps.val_step(params, arch_params, masks,
                                    jnp.asarray(x, compute_dtype),
                                    jnp.asarray(y), kv, jnp.asarray(wmask))
-                v1.update(float(m["top1"]), n_valid)
-                v5.update(float(m["top5"]), n_valid)
-            logging.info('Val_acc %f', v1.avg)
-            logging.info('Val_acc_top5 %f', v5.avg)
+                vacc = _acc_val(vacc, m, jnp.float32(n_valid))
+            va = np.asarray(vacc)
+            logging.info('Val_acc %f', va[0] / max(va[2], 1.0))
+            logging.info('Val_acc_top5 %f', va[1] / max(va[2], 1.0))
 
         # shrink / expand (train_search.py:261-307)
         if epoch >= args.warmup_epochs:
@@ -449,6 +514,8 @@ def main():
 
         save_epoch(epoch + 1, T)
 
+    if save_state["thread"] is not None:
+        save_state["thread"].join()
     logging.info('Total searching time: %ds', time.time() - total_start)
 
 
