@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tfnas_tpu.data import DataLoader, ImageList, synthetic_loader
+from tfnas_tpu.data.transforms import device_normalizer
 from tfnas_tpu.models.eval_net import EvalNetwork
 from tfnas_tpu.search.parser import (get_mc_num_dddict,
                                      get_op_and_depth_weights,
@@ -57,6 +58,8 @@ def main():
 
     params, bn_state = ckpt['params'], ckpt['bn_state']
 
+    prep = device_normalizer(jnp.float32)
+
     @jax.jit
     def fwd(p, s, x, y, wmask):
         logits, _ = net.apply(p, s, x, training=False)
@@ -71,7 +74,7 @@ def main():
                                    args.image_size)
     else:
         ds = ImageList(args.val_root, args.val_list, training=False,
-                       image_size=args.image_size)
+                       image_size=args.image_size, output="uint8")
         batches = DataLoader(ds, args.batch_size, shuffle=False,
                              num_workers=args.workers, drop_last=False,
                              pad_last=True)
@@ -82,7 +85,7 @@ def main():
         n = batch[2] if len(batch) > 2 else len(y)
         wmask = np.zeros((len(y),), np.float32)
         wmask[:n] = 1.0
-        loss, top1, top5 = fwd(params, bn_state, jnp.asarray(x),
+        loss, top1, top5 = fwd(params, bn_state, prep(jnp.asarray(x)),
                                jnp.asarray(y), jnp.asarray(wmask))
         meters["loss"].update(float(loss), n)
         meters["top1"].update(float(top1), n)

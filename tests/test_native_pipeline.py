@@ -118,6 +118,59 @@ def test_batch_decode_augment_matches_per_image(tmp_path):
         assert r1.random() == r2.random()
 
 
+def test_uint8_output_mode_parity(tmp_path):
+    """output='uint8' emits exactly quantize_u8 of the (unnormalized) float
+    pipeline — same crops, flips, jitter, same rng stream — and the device
+    normalizer reproduces the float32 pipeline to within one quantum."""
+    from tfnas_tpu.data import ImageList
+    from tfnas_tpu.data.transforms import quantize_u8
+
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"img_{i}.jpg"
+        p.write_bytes(make_jpeg(w=90 + 7 * i, h=70 + 5 * i, seed=i))
+        paths.append(p.name)
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(f"{p} {i % 3}" for i, p in enumerate(paths)))
+
+    for training in (True, False):
+        ds_f = ImageList(str(tmp_path), str(lst), training=training,
+                         image_size=32)
+        ds_u = ImageList(str(tmp_path), str(lst), training=training,
+                         image_size=32, output="uint8")
+        r1, r2 = (np.random.default_rng(7) for _ in range(2))
+        xf, yf = ds_f.get_batch(list(range(4)), r1)
+        xu, yu = ds_u.get_batch(list(range(4)), r2)
+        assert xu.dtype == np.uint8 and list(yf) == list(yu)
+        assert r1.random() == r2.random()  # identical rng consumption
+        # un-normalize the float batch and compare quantized pixels:
+        # both paths quantize the same [0,1] float image
+        raw = xf * IMAGENET_STD + IMAGENET_MEAN
+        np.testing.assert_array_compare(
+            lambda a, b: np.abs(a.astype(int) - b.astype(int)) <= 1,
+            xu, quantize_u8(raw))
+        # single-image path agrees too (uses identity-mean native entries)
+        r3 = np.random.default_rng(7)
+        x0, _ = ds_u.get(0, r3)
+        np.testing.assert_array_equal(x0, xu[0])
+
+
+def test_device_normalizer_matches_host():
+    import jax
+    from tfnas_tpu.data.transforms import device_normalizer
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 8, 8, 3), np.uint8)
+    prep = device_normalizer(jax.numpy.float32)
+    got = np.asarray(prep(jax.numpy.asarray(u8)))
+    want = normalize(u8.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # float input passes through (cast only)
+    f = rng.standard_normal((2, 4, 4, 3)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(prep(jax.numpy.asarray(f))), f,
+                               rtol=1e-6)
+
+
 def test_batch_fallback_for_corrupt_entry(tmp_path):
     """A non-JPEG entry in a batch falls back to PIL decode + native
     augment; the rest of the batch is unaffected."""

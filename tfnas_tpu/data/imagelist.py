@@ -22,8 +22,13 @@ import threading
 import numpy as np
 
 from ..runtime import native
-from .transforms import (IMAGENET_MEAN, IMAGENET_STD, sample_jitter,
-                         sample_rrc_box, train_transform, val_transform)
+from .transforms import (IMAGENET_MEAN, IMAGENET_STD, quantize_u8,
+                         sample_jitter, sample_rrc_box, train_transform,
+                         train_transform_u8, val_transform,
+                         val_transform_u8)
+
+_ZERO3 = np.zeros((3,), np.float32)
+_ONE3 = np.ones((3,), np.float32)
 
 
 def default_list_reader(list_path):
@@ -78,7 +83,11 @@ class ImageList:
 
     def __init__(self, root, list_path, training, image_size=224,
                  list_reader=default_list_reader, loader=pil_loader,
-                 host_shard=None, use_native="auto"):
+                 host_shard=None, use_native="auto", output="float32"):
+        """output: 'float32' = normalized float batches (classic);
+        'uint8' = raw augmented uint8 pixels, normalized ON DEVICE by
+        transforms.device_normalizer — 4x less host->device traffic, which
+        is the search-step bottleneck on a tunneled device link."""
         self.root = root
         self.img_list = list_reader(list_path)
         if host_shard is not None and host_shard[1] > 1:
@@ -95,6 +104,9 @@ class ImageList:
         self.loader = loader
         self.use_native = (native.available() if use_native == "auto"
                            else bool(use_native))
+        if output not in ("float32", "uint8"):
+            raise ValueError(f"output must be float32|uint8, got {output}")
+        self.output = output
 
     def __len__(self):
         return len(self.img_list)
@@ -104,17 +116,23 @@ class ImageList:
         image_pipeline.cpp). Raises ValueError for non-JPEG inputs."""
         with open(path, "rb") as f:
             data = f.read()
+        u8 = self.output == "uint8"
+        # uint8 mode reuses the float entries with identity mean/std (the
+        # single-image path is the PIL-fallback/slow path; the batch path
+        # has dedicated u8 C entries)
+        mean = _ZERO3 if u8 else IMAGENET_MEAN
+        std = _ONE3 if u8 else IMAGENET_STD
         if self.training:
             w, h = native.image_size(data)
             box = sample_rrc_box(w, h, rng)
             flip = rng.random() < 0.5
             order, factors = sample_jitter(rng)
-            return native.decode_augment_train(
-                data, box, self.image_size, flip, order, factors,
-                IMAGENET_MEAN, IMAGENET_STD)
-        img = native.decode_jpeg(data)
-        return native.augment_val(img, 256, self.image_size,
-                                  IMAGENET_MEAN, IMAGENET_STD)
+            x = native.decode_augment_train(
+                data, box, self.image_size, flip, order, factors, mean, std)
+        else:
+            img = native.decode_jpeg(data)
+            x = native.augment_val(img, 256, self.image_size, mean, std)
+        return quantize_u8(x) if u8 else x
 
     def get(self, index, rng):
         img_path, target = self.img_list[index]
@@ -126,9 +144,13 @@ class ImageList:
                 pass  # non-JPEG / corrupt: fall back to PIL below
         img = self.loader(path)
         if self.training:
-            x = train_transform(img, rng, self.image_size)
+            x = (train_transform_u8(img, rng, self.image_size)
+                 if self.output == "uint8"
+                 else train_transform(img, rng, self.image_size))
         else:
-            x = val_transform(img, crop=self.image_size)
+            x = (val_transform_u8(img, crop=self.image_size)
+                 if self.output == "uint8"
+                 else val_transform(img, crop=self.image_size))
         return x, target
 
     def get_batch(self, indices, rng):
@@ -161,13 +183,24 @@ class ImageList:
                 order, facs = sample_jitter(rng)
                 orders.append(order)
                 factors.append(facs)
+        u8 = self.output == "uint8"
         if self.training:
-            xs, status = native.decode_augment_train_batch(
-                datas, boxes, self.image_size, flips, orders, factors,
-                IMAGENET_MEAN, IMAGENET_STD)
+            if u8:
+                xs, status = native.decode_augment_train_batch_u8(
+                    datas, boxes, self.image_size, flips, orders, factors)
+            else:
+                xs, status = native.decode_augment_train_batch(
+                    datas, boxes, self.image_size, flips, orders, factors,
+                    IMAGENET_MEAN, IMAGENET_STD)
         else:
-            xs, status = native.decode_augment_val_batch(
-                datas, 256, self.image_size, IMAGENET_MEAN, IMAGENET_STD)
+            if u8:
+                xs, status = native.decode_augment_val_batch_u8(
+                    datas, 256, self.image_size)
+            else:
+                xs, status = native.decode_augment_val_batch(
+                    datas, 256, self.image_size, IMAGENET_MEAN, IMAGENET_STD)
+        mean = _ZERO3 if u8 else IMAGENET_MEAN
+        std = _ONE3 if u8 else IMAGENET_STD
         for j in np.nonzero(status)[0]:
             img = pil_imgs.get(j)
             if img is None:
@@ -175,12 +208,12 @@ class ImageList:
                 img = self.loader(os.path.join(self.root, img_path))
             arr = np.asarray(img, np.uint8)
             if self.training:
-                xs[j] = native.augment_train_from_array(
+                x = native.augment_train_from_array(
                     arr, boxes[j], self.image_size, flips[j], orders[j],
-                    factors[j], IMAGENET_MEAN, IMAGENET_STD)
+                    factors[j], mean, std)
             else:
-                xs[j] = native.augment_val(arr, 256, self.image_size,
-                                           IMAGENET_MEAN, IMAGENET_STD)
+                x = native.augment_val(arr, 256, self.image_size, mean, std)
+            xs[j] = quantize_u8(x) if u8 else x
         return xs, ys
 
 
@@ -234,8 +267,10 @@ class DataLoader:
             if getattr(self.dataset, "use_native", False):
                 xs, ys = self.dataset.get_batch([int(i) for i in idxs], sub)
             else:
+                dt = (np.uint8 if getattr(self.dataset, "output", "float32")
+                      == "uint8" else np.float32)
                 xs = np.empty((len(idxs), self.dataset.image_size,
-                               self.dataset.image_size, 3), np.float32)
+                               self.dataset.image_size, 3), dt)
                 ys = np.empty((len(idxs),), np.int32)
                 for j, i in enumerate(idxs):
                     x, y = self.dataset.get(int(i), sub)

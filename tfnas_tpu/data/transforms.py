@@ -171,3 +171,46 @@ def val_transform(img, resize=256, crop=224):
     img = resize_center_crop(img, resize, crop)
     x = np.asarray(img, np.float32) / 255.0
     return normalize(x).astype(np.float32)
+
+
+def quantize_u8(x):
+    """float [0,1] -> uint8 pixels (round-half-away, matching the C++
+    path's lround). Used by the uint8 output mode: pixels ship to the
+    device 4x smaller and are normalized there (device_normalizer)."""
+    return np.clip(np.rint(x * 255.0), 0.0, 255.0).astype(np.uint8)
+
+
+def train_transform_u8(img, rng, size=224):
+    """train_transform minus normalize, quantized to uint8. Consumes the
+    SAME rng draw sequence as train_transform (stream-parity)."""
+    img = random_resized_crop(img, rng, size)
+    x = np.asarray(img, np.float32) / 255.0
+    if rng.random() < 0.5:
+        x = x[:, ::-1, :]
+    x = color_jitter(x, rng)
+    return quantize_u8(x)
+
+
+def val_transform_u8(img, resize=256, crop=224):
+    """val_transform minus normalize, quantized to uint8."""
+    img = resize_center_crop(img, resize, crop)
+    x = np.asarray(img, np.float32) / 255.0
+    return quantize_u8(x)
+
+
+def device_normalizer(compute_dtype):
+    """Jitted on-device (x/255 - mean)/std -> compute_dtype for uint8
+    batches; float inputs (synthetic data) just cast. One program per
+    input dtype (jit retraces on dtype)."""
+    import jax
+    import jax.numpy as jnp
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    @jax.jit
+    def prep(x):
+        if x.dtype == jnp.uint8:
+            x = (x.astype(jnp.float32) / 255.0 - mean) / std
+        return x.astype(compute_dtype)
+
+    return prep

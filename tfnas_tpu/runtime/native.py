@@ -72,6 +72,14 @@ def _load():
             lib.tfnas_decode_augment_val_batch.argtypes = [
                 u8pp, szp, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 f32p, f32p, f32p, i32p, ctypes.c_int]
+            lib.tfnas_decode_augment_train_batch_u8.restype = ctypes.c_int
+            lib.tfnas_decode_augment_train_batch_u8.argtypes = [
+                u8pp, szp, ctypes.c_int, i32p, ctypes.c_int, i32p, i32p,
+                f32p, u8p, i32p, ctypes.c_int]
+            lib.tfnas_decode_augment_val_batch_u8.restype = ctypes.c_int
+            lib.tfnas_decode_augment_val_batch_u8.argtypes = [
+                u8pp, szp, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                u8p, i32p, ctypes.c_int]
             _lib = lib
         except Exception:
             _failed = True
@@ -223,6 +231,47 @@ def decode_augment_val_batch(datas, resize, crop, mean, std, n_threads=None):
     lib.tfnas_decode_augment_val_batch(
         ptrs, lens, n, resize, crop, _ptr(mean, ctypes.c_float),
         _ptr(std, ctypes.c_float), _ptr(out, ctypes.c_float),
+        _ptr(status, ctypes.c_int),
+        native_threads() if n_threads is None else n_threads)
+    return out, status
+
+
+def decode_augment_train_batch_u8(datas, boxes, out_size, flips, orders,
+                                  factors, n_threads=None):
+    """decode_augment_train_batch, but the batch is emitted as uint8 pixels
+    (rint(x*255)) with normalization left to the accelerator — 4x less
+    host->device traffic on the tunneled link (the search-step bottleneck).
+    Returns (out [n,S,S,3] uint8, status [n] int32)."""
+    lib = _load()
+    n = len(datas)
+    ptrs, lens, bufs = _ptr_array(datas)
+    boxes = np.ascontiguousarray(boxes, np.int32)
+    flips = np.ascontiguousarray(flips, np.int32)
+    orders_arr = np.full((n, 4), -1, np.int32)
+    for i, o in enumerate(orders):
+        orders_arr[i, :len(o)] = o
+    factors = np.ascontiguousarray(factors, np.float32)
+    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    status = np.empty((n,), np.int32)
+    lib.tfnas_decode_augment_train_batch_u8(
+        ptrs, lens, n, _ptr(boxes, ctypes.c_int), out_size,
+        _ptr(flips, ctypes.c_int), _ptr(orders_arr, ctypes.c_int),
+        _ptr(factors, ctypes.c_float), _ptr(out, ctypes.c_uint8),
+        _ptr(status, ctypes.c_int),
+        native_threads() if n_threads is None else n_threads)
+    return out, status
+
+
+def decode_augment_val_batch_u8(datas, resize, crop, n_threads=None):
+    """decode_augment_val_batch emitting uint8 pixels (see the train
+    variant). Returns (out [n,crop,crop,3] uint8, status [n] int32)."""
+    lib = _load()
+    n = len(datas)
+    ptrs, lens, bufs = _ptr_array(datas)
+    out = np.empty((n, crop, crop, 3), np.uint8)
+    status = np.empty((n,), np.int32)
+    lib.tfnas_decode_augment_val_batch_u8(
+        ptrs, lens, n, resize, crop, _ptr(out, ctypes.c_uint8),
         _ptr(status, ctypes.c_int),
         native_threads() if n_threads is None else n_threads)
     return out, status

@@ -383,6 +383,105 @@ int tfnas_decode_augment_val_batch(
   return 0;
 }
 
+// ---- uint8 batch variants --------------------------------------------
+//
+// Same decode+augment pipelines, but the batch is written as uint8 pixels
+// (rint(x*255), x in [0,1] after clip) with normalization LEFT OUT — the
+// caller normalizes on the accelerator. Rationale: the host->device link
+// is the step-rate bottleneck for search training (measured ~20 MB/s
+// through the tunneled relay); uint8 is 4x smaller than float32 and
+// matches the reference pipeline's own quantization (PIL ColorJitter
+// works on uint8 images, dataset/dataset.py:9-17).
+
+static const float kIdMean[3] = {0.0f, 0.0f, 0.0f};
+static const float kIdStd[3] = {1.0f, 1.0f, 1.0f};
+
+static void quantize_u8(const float* in, int n, uint8_t* out) {
+  for (int i = 0; i < n; ++i) {
+    float v = in[i] * 255.0f;
+    v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
+    out[i] = static_cast<uint8_t>(std::lround(v));
+  }
+}
+
+struct TrainBatchU8Ctx {
+  const uint8_t* const* datas;
+  const size_t* lens;
+  const int* boxes;
+  int out_size;
+  const int* flips;
+  const int* orders;
+  const float* factors;
+  uint8_t* out;         // [n, out_size, out_size, 3]
+  float* scratch;       // [n, out_size, out_size, 3]
+  int* status;
+};
+
+static void train_batch_one_u8(int i, void* vctx) {
+  TrainBatchU8Ctx* c = static_cast<TrainBatchU8Ctx*>(vctx);
+  const int* b = c->boxes + 4 * i;
+  const size_t sz = static_cast<size_t>(c->out_size) * c->out_size * 3;
+  float* scr = c->scratch + sz * i;
+  c->status[i] = tfnas_decode_augment_train(
+      c->datas[i], c->lens[i], b[0], b[1], b[2], b[3], c->out_size,
+      c->flips[i], c->orders + 4 * i, c->factors + 4 * i, kIdMean, kIdStd,
+      scr);
+  if (c->status[i] == 0)
+    quantize_u8(scr, static_cast<int>(sz), c->out + sz * i);
+}
+
+int tfnas_decode_augment_train_batch_u8(
+    const uint8_t* const* datas, const size_t* lens, int n, const int* boxes,
+    int out_size, const int* flips, const int* orders, const float* factors,
+    uint8_t* out, int* status, int n_threads) {
+  const size_t sz = static_cast<size_t>(out_size) * out_size * 3;
+  float* scratch = static_cast<float*>(malloc(sz * n * sizeof(float)));
+  if (!scratch) return 6;
+  TrainBatchU8Ctx ctx{datas, lens,   boxes,   out_size, flips,
+                      orders, factors, out,     scratch,  status};
+  run_batch(n, n_threads, train_batch_one_u8, &ctx);
+  free(scratch);
+  return 0;
+}
+
+struct ValBatchU8Ctx {
+  const uint8_t* const* datas;
+  const size_t* lens;
+  int resize;
+  int crop;
+  uint8_t* out;         // [n, crop, crop, 3]
+  float* scratch;       // [n, crop, crop, 3]
+  int* status;
+};
+
+static void val_batch_one_u8(int i, void* vctx) {
+  ValBatchU8Ctx* c = static_cast<ValBatchU8Ctx*>(vctx);
+  const size_t sz = static_cast<size_t>(c->crop) * c->crop * 3;
+  float* scr = c->scratch + sz * i;
+  uint8_t* img = nullptr;
+  int w = 0, h = 0;
+  int rc = tfnas_decode_jpeg(c->datas[i], c->lens[i], &img, &w, &h);
+  if (rc == 0) {
+    rc = tfnas_augment_val(img, w, h, c->resize, c->crop, kIdMean, kIdStd,
+                           scr);
+    free(img);
+    if (rc == 0) quantize_u8(scr, static_cast<int>(sz), c->out + sz * i);
+  }
+  c->status[i] = rc;
+}
+
+int tfnas_decode_augment_val_batch_u8(
+    const uint8_t* const* datas, const size_t* lens, int n, int resize,
+    int crop, uint8_t* out, int* status, int n_threads) {
+  const size_t sz = static_cast<size_t>(crop) * crop * 3;
+  float* scratch = static_cast<float*>(malloc(sz * n * sizeof(float)));
+  if (!scratch) return 6;
+  ValBatchU8Ctx ctx{datas, lens, resize, crop, out, scratch, status};
+  run_batch(n, n_threads, val_batch_one_u8, &ctx);
+  free(scratch);
+  return 0;
+}
+
 int tfnas_image_size(const uint8_t* data, size_t len, int* width,
                      int* height) {
   jpeg_decompress_struct cinfo;

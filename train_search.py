@@ -29,6 +29,7 @@ import numpy as np
 from tfnas_tpu.cost.lut import lat_vectors_for_mc, load_lat_lookup
 from tfnas_tpu.data import (DataLoader, DevicePrefetcher, ImageList,
                             synthetic_loader)
+from tfnas_tpu.data.transforms import device_normalizer
 from tfnas_tpu.models import search_space as ss
 from tfnas_tpu.models.supernet import SuperNetwork
 from tfnas_tpu.search.elasticity import rewrite_masks_by_l1, shrink_or_expand
@@ -252,9 +253,9 @@ def main():
                         args.image_size, seed=ep),
                     val, val)
         train_ds = ImageList(args.img_root, args.train_list, training=True,
-                             image_size=args.image_size)
+                             image_size=args.image_size, output="uint8")
         val_ds = ImageList(args.img_root, args.val_list, training=False,
-                           image_size=args.image_size)
+                           image_size=args.image_size, output="uint8")
         tl = DataLoader(train_ds, args.batch_size, shuffle=True,
                         num_workers=args.workers, seed=args.seed)
         # arch-step batches: shuffled, drop_last (static shapes, sampled
@@ -284,6 +285,9 @@ def main():
 
     train_iter, val_iter, full_val_iter = make_loaders()
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    # uint8 batches are normalized on device (4x less H2D traffic — the
+    # tunneled-link step bottleneck); float batches (synthetic) just cast
+    prep = device_normalizer(compute_dtype)
 
     T = args.T
     total_start = time.time()
@@ -338,13 +342,12 @@ def main():
                         continue
                     # full group: one scanned dispatch
                     bshape = buf[0][0].shape
-                    xw = jnp.asarray(np.stack([b[0] for b in buf]).reshape(
-                        K, AE, *bshape)).astype(compute_dtype)
+                    xw = prep(jnp.asarray(np.stack([b[0] for b in buf])
+                                          .reshape(K, AE, *bshape)))
                     yw = jnp.asarray(np.stack([b[1] for b in buf]).reshape(
                         K, AE, -1))
                     pairs = [next(arch_cycle) for _ in range(K)]
-                    xa = jnp.asarray(np.stack(
-                        [p[0] for p in pairs])).astype(compute_dtype)
+                    xa = prep(jnp.asarray(np.stack([p[0] for p in pairs])))
                     ya = jnp.asarray(np.stack([p[1] for p in pairs]))
                     params, mom, arch_params, opt_a, wmet, amet = scan_run(
                         params, mom, arch_params, opt_a, masks, update_masks,
@@ -365,7 +368,7 @@ def main():
                 # tail: fewer than K*AE batches left — per-step dispatch,
                 # same schedule (arch step every 2nd weight step)
                 for j, (x, y) in enumerate(buf):
-                    x = jnp.asarray(x).astype(compute_dtype)
+                    x = prep(jnp.asarray(x))
                     y = jnp.asarray(y)
                     key, k1 = jax.random.split(key)
                     params, mom, m = steps.weight_step(
@@ -377,7 +380,7 @@ def main():
                         key, k2 = jax.random.split(key)
                         arch_params, opt_a, ma = steps.arch_step(
                             params, arch_params, opt_a, masks,
-                            jnp.asarray(xa).astype(compute_dtype),
+                            prep(jnp.asarray(xa)),
                             jnp.asarray(ya), lat_vec, base_lat,
                             jnp.float32(T), k2)
                         macc = _acc_a(macc, ma)
@@ -416,8 +419,8 @@ def main():
                 jax.profiler.stop_trace()
                 profiling = False
                 logging.info('profiler trace written to %s/profile', run_dir)
-            x = jnp.asarray(x, compute_dtype)  # on-device cast (x is already
-            y = jnp.asarray(y)                 # device-resident)
+            x = prep(x)       # on-device normalize+cast (x is device-resident)
+            y = jnp.asarray(y)
             key, k1 = jax.random.split(key)
             if epoch < args.warmup_epochs:
                 params, mom, m = steps.warmup_step(
@@ -437,7 +440,7 @@ def main():
                     key, k2 = jax.random.split(key)
                     arch_params, opt_a, ma = steps.arch_step(
                         params, arch_params, opt_a, masks,
-                        jnp.asarray(xa, compute_dtype), jnp.asarray(ya),
+                        prep(xa), jnp.asarray(ya),
                         lat_vec, base_lat, jnp.float32(T), k2)
                     macc = _acc_a(macc, ma)
             macc = _acc_w(macc, m)
@@ -482,7 +485,7 @@ def main():
                 wmask[:n_valid] = 1.0
                 key, kv = jax.random.split(key)
                 m = steps.val_step(params, arch_params, masks,
-                                   jnp.asarray(x, compute_dtype),
+                                   prep(jnp.asarray(x)),
                                    jnp.asarray(y), kv, jnp.asarray(wmask))
                 vacc = _acc_val(vacc, m, jnp.float32(n_valid))
             va = np.asarray(vacc)

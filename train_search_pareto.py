@@ -145,6 +145,8 @@ def main():
         valid_mask=net.valid_mask if hybrid else None)
     lr_list = cosine_lr_list(args.w_lr, args.epochs)
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    from tfnas_tpu.data.transforms import device_normalizer
+    prep = device_normalizer(compute_dtype)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     xsh = NamedSharding(mesh, P("pareto", "data"))
@@ -163,7 +165,7 @@ def main():
                    for g in range(G)]
         else:
             ds = ImageList(args.img_root, args.train_list, training=True,
-                           image_size=args.image_size,
+                           image_size=args.image_size, output="uint8",
                            host_shard=host_shard())
             dl = DataLoader(ds, local_bs * G, shuffle=True,
                             num_workers=args.workers, seed=seed_base)
@@ -211,9 +213,9 @@ def main():
 
         meters = []
         for step, (xs, ys) in enumerate(batches(epoch, epoch * 1000)):
-            x = put_global_batch(np.asarray(xs, np.float32), xsh)
+            x = put_global_batch(np.asarray(xs), xsh)
             y = put_global_batch(np.asarray(ys, np.int32), xsh)
-            x = jnp.asarray(x, compute_dtype)  # on-device cast
+            x = prep(x)  # on-device normalize (uint8) / cast
             key, k1 = jax.random.split(key)
             keys = put_host_replicated(jax.random.split(k1, G), gsh)
             state, m = weight_step(state, masks, update_masks, x, y, lr,
