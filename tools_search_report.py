@@ -83,7 +83,10 @@ def main():
     if vals:
         print("val_acc (last epochs):", [round(v, 2) for v in vals])
 
-    ckpts = sorted(glob.glob(os.path.join(run_dir, "searched_model_*.pkl")))
+    # per-epoch arch trajectory: prefer the tiny arch_params_NN.pkl dumps
+    # (saved every epoch even when --save_freq skips full checkpoints)
+    ckpts = sorted(glob.glob(os.path.join(run_dir, "arch_params_*.pkl"))) \
+        or sorted(glob.glob(os.path.join(run_dir, "searched_model_*.pkl")))
     stats = alpha_stats(ckpts)
     max_ent = float(np.log(8))
     print(f"\n== (b) alpha entropy (uniform = {max_ent:.3f} nats) ==")

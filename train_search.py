@@ -90,6 +90,15 @@ parser.add_argument('--synthetic', action='store_true',
                     help='use synthetic data instead of ImageNet lists')
 parser.add_argument('--resume', type=str, default='',
                     help='resume from a searched_model_NN.pkl checkpoint')
+parser.add_argument('--save_freq', type=int, default=1,
+                    help='save the full searched_model_NN.pkl every N '
+                         'epochs (always after the last). 1 = reference '
+                         'parity. The full checkpoint pulls ~376MB off '
+                         'device; on a slow host link per-epoch saves can '
+                         'dominate the epoch. A tiny arch_params_NN.pkl '
+                         '(alphas/betas/masks) is saved EVERY epoch '
+                         'regardless, so convergence analysis keeps its '
+                         'per-epoch trajectory.')
 parser.add_argument('--profile_steps', type=int, default=0,
                     help='capture a jax.profiler trace of the first N steps '
                          'of epoch 0 into <run_dir>/profile')
@@ -217,7 +226,25 @@ def main():
     # separate remote compiles)
     _snap = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
 
-    def save_epoch(epoch, T):
+    def save_arch_only(epoch, T):
+        """Tiny per-epoch checkpoint: alphas/betas + masks (KBs, one cheap
+        pull) — enough for parse_architecture and entropy trajectories."""
+        with open(f"{run_dir}/arch_params_{epoch:02d}.pkl", "wb") as f:
+            import pickle
+            pickle.dump({
+                "arch_params": to_numpy_tree(arch_params),
+                "mc_mask_dddict": {
+                    st: {b: {o: np.asarray(m) for o, m in d.items()}
+                         for b, d in sd.items()}
+                    for st, sd in mc_mask_dddict.items()},
+                "epoch": epoch,
+                "T": T,
+            }, f)
+
+    def save_epoch(epoch, T, final=False):
+        save_arch_only(epoch, T)
+        if args.save_freq > 1 and not final and epoch % args.save_freq:
+            return None
         path = f"{run_dir}/searched_model_{epoch:02d}.pkl"
         if save_state["thread"] is not None:
             save_state["thread"].join()
@@ -239,7 +266,8 @@ def main():
         save_state["thread"] = t
         return path
 
-    save_epoch(0, args.T)
+    if not args.resume:  # resumed runs already have their lineage on disk
+        save_epoch(0, args.T)
 
     # data
     def make_loaders():
@@ -515,7 +543,7 @@ def main():
                 'After, the current lat: %.4f, the target lat: %.4f',
                 after_lat, args.target_lat)
 
-        save_epoch(epoch + 1, T)
+        save_epoch(epoch + 1, T, final=(epoch + 1 == args.epochs))
 
     if save_state["thread"] is not None:
         save_state["thread"].join()
