@@ -124,7 +124,7 @@ def main():
             log("max restarts exceeded; giving up")
             return
         log("waiting for the relay to answer a probe...")
-        deadline = time.time() + 1200
+        deadline = time.time() + 7200
         while time.time() < deadline:
             if probe_tpu():
                 log("relay alive")
