@@ -80,6 +80,9 @@ def main():
     ap.add_argument("--stall_sec", type=int, default=600)
     ap.add_argument("--max_restarts", type=int, default=10)
     ap.add_argument("--out", default="/tmp/watchdog_trainer.out")
+    ap.add_argument("--wait_for_device", action="store_true",
+                    help="probe the device until it answers BEFORE every "
+                         "launch (for starting during an outage)")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- trainer command")
     args = ap.parse_args()
@@ -89,6 +92,9 @@ def main():
 
     restarts = 0
     while True:
+        if args.wait_for_device:
+            while not probe_tpu():
+                log("device probe failed; waiting before launch")
         run_cmd = list(cmd)
         ck = latest_ckpt(args.save)
         if restarts and ck:
