@@ -19,7 +19,7 @@ def _interpret_mode(monkeypatch):
     yield
 
 
-@pytest.mark.parametrize("stride", [1])
+@pytest.mark.parametrize("stride", [1, 2])
 @pytest.mark.parametrize("act", ["relu", "swish"])
 def test_fused_dw_matches_reference(stride, act):
     rng = np.random.default_rng(0)
@@ -38,30 +38,65 @@ def test_fused_dw_matches_reference(stride, act):
     np.testing.assert_allclose(np.asarray(sq), np.asarray(sqr), rtol=1e-3)
 
 
-def test_fused_dw_gradients_match_reference():
+@pytest.mark.parametrize("stride", [1, 2])
+def test_fused_dw_gradients_match_reference(stride):
+    """All four input grads (incl. scale/offset, exercising the hand-written
+    elementwise + linear_transpose backward) vs jax.vjp of the reference."""
     rng = np.random.default_rng(1)
     n, h, w, c = 1, 8, 8, 128
     x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
     ker = jnp.asarray(rng.standard_normal((5, 5, c)) * 0.1, jnp.float32)
-    scale = jnp.ones((c,), jnp.float32)
-    offset = jnp.zeros((c,), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32)
+    offset = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
 
-    def loss_fused(x, ker):
-        y, s, sq = fused_dw.fused_dw_norm_act(x, ker, scale, offset, 1,
+    def loss_fused(x, ker, scale, offset):
+        y, s, sq = fused_dw.fused_dw_norm_act(x, ker, scale, offset, stride,
                                               "swish")
         return jnp.sum(y * y) + jnp.sum(s) + jnp.sum(sq) * 0.1
 
-    def loss_ref(x, ker):
-        y, s, sq = fused_dw._reference(x, ker, scale, offset, stride=1,
+    def loss_ref(x, ker, scale, offset):
+        y, s, sq = fused_dw._reference(x, ker, scale, offset, stride=stride,
                                        act="swish")
         return jnp.sum(y * y) + jnp.sum(s) + jnp.sum(sq) * 0.1
 
-    gx1, gk1 = jax.grad(loss_fused, argnums=(0, 1))(x, ker)
-    gx2, gk2 = jax.grad(loss_ref, argnums=(0, 1))(x, ker)
-    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-3,
-                               atol=1e-3)
-    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), rtol=1e-3,
-                               atol=1e-3)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, ker, scale, offset)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, ker, scale, offset)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-3)
+
+
+def test_fused_dw_bf16_gradients_match_reference():
+    """bf16 activations (the production dtype): the hand-written backward
+    must mirror the reference's cast placement bit-for-bit in structure."""
+    rng = np.random.default_rng(3)
+    n, h, w, c = 2, 8, 8, 128
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32
+                    ).astype(jnp.bfloat16)
+    ker = jnp.asarray(rng.standard_normal((5, 5, c)) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32)
+    offset = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+
+    def mk(fn, stride):
+        def loss(ker, scale, offset):
+            y, s, sq = fn(x, ker, scale, offset, stride, "swish")
+            return (jnp.sum(y.astype(jnp.float32) ** 2)
+                    + jnp.sum(s) + jnp.sum(sq) * 0.1)
+        return loss
+
+    ref = lambda x, k, sc, of, st, a: fused_dw._reference(
+        x, k, sc, of, stride=st, act=a)
+    for stride in (1, 2):
+        g1 = jax.grad(mk(fused_dw.fused_dw_norm_act, stride),
+                      argnums=(0, 1, 2))(ker, scale, offset)
+        g2 = jax.grad(mk(ref, stride), argnums=(0, 1, 2))(ker, scale, offset)
+        # bf16 tolerance: the Pallas forward and the XLA conv round the
+        # bf16 y differently (accumulation order), which feeds the stats
+        # pullback; the f32 tests above pin the math exactly. This guards
+        # dtype-flow blunders (e.g. bf16 accumulation), not ulp parity.
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-2, atol=0.5)
 
 
 def test_fold_bn_mask():
@@ -75,14 +110,15 @@ def test_fold_bn_mask():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
 
 
-def test_supernet_block_with_pallas_matches_xla_path():
+@pytest.mark.parametrize("stride", [1, 2])
+def test_supernet_block_with_pallas_matches_xla_path(stride):
     """_dw_middle: Pallas-fused path == XLA path inside a real supernet
-    block (interpret mode)."""
+    block (interpret mode), both the stride-1 and space-to-depth sites."""
     import jax
     from tfnas_tpu.models import search_space as ss
     from tfnas_tpu.models.supernet import BlockSite, SuperNetwork
 
-    site = BlockSite("stage2", "block2", 4, 40, 40, 1, "swish")
+    site = BlockSite("stage2", "block2", 4, 40, 40, stride, "swish")
     net_x = SuperNetwork(10, use_pallas=False)
     net_p = SuperNetwork(10, use_pallas=True)
     p = net_x._init_block(jax.random.PRNGKey(0), site)

@@ -16,9 +16,18 @@ side outputs. HBM traffic drops from ~3 reads + 2 writes to 1 read + 1
 write of the large tensor.
 
 The public entry `fused_dw_norm_act` is differentiable via custom_vjp: the
-forward runs the Pallas kernel, the backward differentiates the identical
-jnp reference formulation (same math, XLA-compiled), so gradients are exact
-while the forward (and any remat recompute) takes the fused fast path.
+forward runs the Pallas kernel; the backward is hand-written against the
+identical jnp reference formulation (mirroring its exact dtype flow) but
+SAVES the forward output y as a residual and uses `jax.linear_transpose`
+for the two conv gradients — so unlike a naive `jax.vjp(reference)` it
+never re-runs the forward depthwise conv or the stat reductions. Gradients
+are exact (tested to 1e-6 against the reference's vjp) while both passes
+skip the redundant work.
+
+Stride-2 sites run via space-to-depth: the input deinterleaves (outside
+the kernel, one XLA gather pass) into 4 half-resolution parity planes and
+the kernel accumulates the 25 taps from per-plane {-1,0,+1} row slices and
+column rolls — no strided sublane access, which Mosaic cannot lower.
 
 VMEM budget: one (H+4, W+4, CT) bf16 input plane + (Ho, Wo, CT) fp32
 accumulator; with CT=128 lanes the largest plane (116x116x128 bf16) is
@@ -76,6 +85,50 @@ def _kernel(x_ref, w_ref, scale_ref, offset_ref, y_ref, ssum_ref, ssq_ref,
     ssq_ref[0, 0] = jnp.sum(acc * acc, axis=(0, 1))
 
 
+def _kernel_s2(p00_ref, p01_ref, p10_ref, p11_ref, w_ref, scale_ref,
+               offset_ref, y_ref, ssum_ref, ssq_ref, *, act, ho, wo):
+    """Stride-2 grid cell over the 4 space-to-depth parity planes.
+
+    plane[a][b][i, j] = x[2i+a, 2j+b]; with conv padding 2 the output is
+    y[o, p] = sum_{dy,dx} w[dy,dx] * plane[dy&1][dx&1][o + dy//2 - 1,
+    p + dx//2 - 1] (out-of-range reads are zero). Row offsets {-1,0,+1}
+    come from a 1-row pad; column offsets from masked circular rolls."""
+    act_fn = get_act_fn(act)
+    scale = scale_ref[0]
+    offset = offset_ref[0]
+
+    planes = {}
+    for (a, b), ref in (((0, 0), p00_ref), ((0, 1), p01_ref),
+                        ((1, 0), p10_ref), ((1, 1), p11_ref)):
+        pf = ref[0].astype(jnp.float32) * scale[None, None, :] \
+            + offset[None, None, :]
+        if act_fn is not None:
+            pf = act_fn(pf)
+        planes[(a, b)] = jnp.pad(pf, ((1, 1), (0, 0), (0, 0)))
+
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, wo, 1), 1)
+    acc = jnp.zeros((ho, wo, scale.shape[0]), jnp.float32)
+    for dx in range(2 * KPAD + 1):
+        b = dx & 1
+        cx = dx // 2 - 1
+        for a in (0, 1):
+            if cx == 0:
+                shifted = planes[(a, b)]
+            else:
+                shifted = pltpu.roll(planes[(a, b)], (-cx) % wo, axis=1)
+                valid = (pid + cx >= 0) & (pid + cx < wo)
+                shifted = jnp.where(valid, shifted, 0.0)
+            for dy in range(a, 2 * KPAD + 1, 2):
+                ry = dy // 2 - 1
+                tap = jax.lax.slice(shifted, (ry + 1, 0, 0),
+                                    (ry + 1 + ho, wo, shifted.shape[2]))
+                acc = acc + tap * w_ref[dy, dx, :][None, None, :]
+
+    y_ref[0] = acc.astype(y_ref.dtype)
+    ssum_ref[0, 0] = jnp.sum(acc, axis=(0, 1))
+    ssq_ref[0, 0] = jnp.sum(acc * acc, axis=(0, 1))
+
+
 def _reference(x, w, scale, offset, *, stride, act):
     """Identical math in plain jnp (used for the backward pass and tests)."""
     act_fn = get_act_fn(act)
@@ -92,10 +145,55 @@ def _reference(x, w, scale, offset, *, stride, act):
     return y, jnp.sum(yf, axis=(0, 1, 2)), jnp.sum(yf * yf, axis=(0, 1, 2))
 
 
+def _pallas_forward_s2(x, w, scale, offset, *, act, ctile=128):
+    """Stride-2 path: space-to-depth into 4 parity planes (one XLA gather
+    pass over x), then per-plane stride-1 accumulation in the kernel."""
+    n, h, wdt, c = x.shape
+    assert h % 2 == 0 and wdt % 2 == 0, "stride-2 sites have even H/W"
+    ho, wo = h // 2, wdt // 2
+    if c % ctile != 0:
+        ctile = c
+    ctiles = max(c // ctile, 1)
+    ctile = min(ctile, c)
+
+    xs = x.reshape(n, ho, 2, wo, 2, c)
+    planes = [xs[:, :, a, :, b, :] for a in (0, 1) for b in (0, 1)]
+
+    kern = functools.partial(_kernel_s2, act=act, ho=ho, wo=wo)
+    plane_spec = pl.BlockSpec((1, ho, wo, ctile), lambda i, j: (i, 0, 0, j),
+                              memory_space=pltpu.VMEM)
+    y, psum, psq = pl.pallas_call(
+        kern,
+        grid=(n, ctiles),
+        in_specs=[plane_spec] * 4 + [
+            pl.BlockSpec((2 * KPAD + 1, 2 * KPAD + 1, ctile),
+                         lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ctile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ctile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ho, wo, ctile), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ctile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ctile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, ho, wo, c), x.dtype),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+        ],
+    )(*planes, w, scale.reshape(1, c), offset.reshape(1, c))
+    return y, jnp.sum(psum, axis=(0, 1)), jnp.sum(psq, axis=(0, 1))
+
+
 def _pallas_forward(x, w, scale, offset, *, stride, act, ctile=128):
-    # Mosaic cannot lower strided extract slices on the sublane dims; the
-    # stride-2 sites keep the XLA path (see supernet._dw_middle).
-    assert stride == 1, "Pallas fused_dw currently supports stride 1 only"
+    if stride == 2:
+        return _pallas_forward_s2(x, w, scale, offset, act=act, ctile=ctile)
+    assert stride == 1, "Pallas fused_dw supports strides 1 and 2"
     n, h, wdt, c = x.shape
     ho = (h + 2 * KPAD - (2 * KPAD + 1)) // stride + 1
     wo = (wdt + 2 * KPAD - (2 * KPAD + 1)) // stride + 1
@@ -149,15 +247,59 @@ def fused_dw_norm_act(x, w, scale, offset, stride, act):
 
 def _fwd(x, w, scale, offset, stride, act):
     out = _pallas_forward(x, w, scale, offset, stride=stride, act=act)
-    return out, (x, w, scale, offset)
+    # y rides along as a residual: the stats cotangent needs it, and saving
+    # it is free (it is already an output) vs. re-running the conv.
+    return out, (x, w, scale, offset, out[0])
 
 
 def _bwd(stride, act, residuals, cotangents):
-    x, w, scale, offset = residuals
-    _, vjp = jax.vjp(
-        lambda *a: _reference(*a, stride=stride, act=act),
-        x, w, scale, offset)
-    return vjp(cotangents)
+    """Hand-written VJP mirroring `_reference`'s exact dtype flow.
+
+    vs. `jax.vjp(_reference)`: skips the redundant primal depthwise conv
+    and both stat reductions (y is saved), recomputing only the cheap
+    elementwise prologue. The two conv gradients use XLA's native
+    grad-conv lowerings via `jax.linear_transpose` (no primal eval)."""
+    x, w, scale, offset, y = residuals
+    gy, gs, gq = cotangents
+
+    # stats: s2 = sum(yf), q2 = sum(yf^2) with yf = y.astype(f32); their
+    # pullback onto y casts back to y.dtype (convert_element_type^T).
+    yf = y.astype(jnp.float32)
+    gy_eff = gy + (gs[None, None, None, :]
+                   + 2.0 * yf * gq[None, None, None, :]).astype(y.dtype)
+
+    # elementwise prologue x1 = act(x*scale + offset).astype(x.dtype):
+    # jax.vjp recomputes it (cheap, no conv) and yields exact grads.
+    def elem(x, scale, offset):
+        xf = x.astype(jnp.float32) * scale[None, None, None, :] \
+            + offset[None, None, None, :]
+        act_fn = get_act_fn(act)
+        if act_fn is not None:
+            xf = act_fn(xf)
+        return xf.astype(x.dtype)
+
+    x1, elem_vjp = jax.vjp(elem, x, scale, offset)
+
+    c = x.shape[-1]
+
+    def conv_lhs(a):
+        return jax.lax.conv_general_dilated(
+            a, w[:, :, None, :].astype(x.dtype), (stride, stride),
+            ((KPAD, KPAD), (KPAD, KPAD)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+
+    def conv_rhs(b):
+        return jax.lax.conv_general_dilated(
+            x1, b[:, :, None, :].astype(x.dtype), (stride, stride),
+            ((KPAD, KPAD), (KPAD, KPAD)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+
+    (gx1,) = jax.linear_transpose(conv_lhs, x1)(gy_eff)
+    (gw,) = jax.linear_transpose(conv_rhs, w)(gy_eff)
+    gx, gscale, goffset = elem_vjp(gx1)
+    return gx, gw, gscale, goffset
 
 
 fused_dw_norm_act.defvjp(_fwd, _bwd)

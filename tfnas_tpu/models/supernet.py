@@ -310,10 +310,10 @@ class SuperNetwork:
         """mask -> BN -> act -> depthwise -> mask -> BN -> act over the raw
         expand output, returning the post-activation depthwise features.
 
-        When the Pallas fused kernel is enabled and stride==1, the
-        normalize+act, the 5x5 depthwise and the next BN's statistics run as
-        ONE pass over HBM (kernels/fused_dw.py); otherwise the identical
-        math runs as separate XLA ops. BN is batch-stat-only/affine-free in
+        When the Pallas fused kernel is enabled, the normalize+act, the 5x5
+        depthwise and the next BN's statistics run as ONE pass over HBM
+        (kernels/fused_dw.py; stride-2 sites via its space-to-depth path);
+        otherwise the identical math runs as separate XLA ops. BN is batch-stat-only/affine-free in
         search (model_search.py:225), so both BNs reduce the live batch."""
         sd = stat_dtype(h_raw.dtype)
         n1 = h_raw.shape[0] * h_raw.shape[1] * h_raw.shape[2]
@@ -328,9 +328,9 @@ class SuperNetwork:
         var1 = q1 / n1 - mean1 * mean1
         scale1, offset1 = fold_bn_mask(mean1, var1, mask_flat, BN_EPS)
 
-        if self.use_pallas and stride == 1:
+        if self.use_pallas:
             h2, s2, q2 = fused_dw_norm_act(h_raw, dwk_flat, scale1, offset1,
-                                           1, act)
+                                           stride, act)
         else:
             x1 = apply_act(
                 (h_raw.astype(sd) * scale1 + offset1

@@ -8,8 +8,13 @@ TF-NAS space, for both the soft path (width-parity flat width 48*ic) and
 the sampled path (single-branch width 8*ic), with the Pallas kernel
 (kernels/fused_dw.py) and the plain XLA formulation.
 
-Stride-2 sites are XLA-only by construction (Mosaic cannot lower the
-strided extracts; kernels/fused_dw.py:97-98) and are listed as n/a.
+Stride-2 sites run the kernel's space-to-depth path (kernels/fused_dw.py
+_pallas_forward_s2).
+
+Both the forward alone and forward+grad (the production context: every
+search step differentiates this segment) are timed; the grad leg exercises
+the hand-written custom_vjp backward, which saves y and skips the
+redundant reference forward a naive jax.vjp would pay.
 
 Measurement discipline (CLAUDE.md): interleaved WARM passes in one
 session, data-dependency-chained iterations so the relay cannot cache.
@@ -88,37 +93,61 @@ def main():
                     return net._dw_middle(h, k, m, act, stride)
                 return f
 
-            t_x = t_p = None
-            fx, fp = seg(net_xla), seg(net_pls)
-            for _ in range(args.rounds):  # interleaved warm rounds
-                tx = time_fn(fx, (x, dwk, mask), args.iters)
-                t_x = tx if t_x is None else min(t_x, tx)
-                if stride == 1:
+            def seg_grad(net):
+                # production context: the segment under grad (w.r.t. the
+                # input and taps), summed to a scalar like a loss would
+                @jax.jit
+                def f(h, k, m):
+                    def loss(h, k):
+                        y = net._dw_middle(h, k, m, act, stride)
+                        return jnp.sum(y.astype(jnp.float32) ** 2)
+                    gh, gk = jax.grad(loss, argnums=(0, 1))(h, k)
+                    # chainable output with the same shape as h
+                    return gh
+                return f
+
+            legs = {}
+            for leg, mk in (("fwd", seg), ("grad", seg_grad)):
+                t_x = t_p = None
+                fx, fp = mk(net_xla), mk(net_pls)
+                for _ in range(args.rounds):  # interleaved warm rounds
+                    tx = time_fn(fx, (x, dwk, mask), args.iters)
+                    t_x = tx if t_x is None else min(t_x, tx)
                     tp = time_fn(fp, (x, dwk, mask), args.iters)
                     t_p = tp if t_p is None else min(t_p, tp)
+                legs[leg] = (t_x, t_p)
+
             rows.append({
                 "res": res, "ic": ic, "stride": stride, "act": act,
                 "path": path, "width": width,
-                "xla_ms": round(t_x, 3),
-                "pallas_ms": round(t_p, 3) if t_p is not None else None,
-                "winner": ("xla" if t_p is None or t_x <= t_p else "pallas"),
+                "xla_ms": round(legs["fwd"][0], 3),
+                "pallas_ms": round(legs["fwd"][1], 3),
+                "xla_grad_ms": round(legs["grad"][0], 3),
+                "pallas_grad_ms": round(legs["grad"][1], 3),
+                "winner": ("xla" if legs["fwd"][0] <= legs["fwd"][1]
+                           else "pallas"),
+                "winner_grad": ("xla" if legs["grad"][0] <= legs["grad"][1]
+                                else "pallas"),
             })
+            r = rows[-1]
             print(f"res{res:3d} ic{ic:3d} s{stride} {path:4s} w{width:5d}: "
-                  f"xla {t_x:7.3f} ms  pallas "
-                  f"{'   n/a' if t_p is None else f'{t_p:7.3f}'} ms "
-                  f"-> {rows[-1]['winner']}")
+                  f"fwd xla {r['xla_ms']:7.3f} pallas {r['pallas_ms']:7.3f} "
+                  f"-> {r['winner']:6s} | grad xla {r['xla_grad_ms']:7.3f} "
+                  f"pallas {r['pallas_grad_ms']:7.3f} -> {r['winner_grad']}")
 
     with open(args.output, "w") as f:
         json.dump({"batch": args.batch, "device": str(jax.devices()[0]),
                    "rows": rows}, f, indent=1)
     print(f"\nwrote {args.output}")
 
-    print("\n| res | ic | stride | path | width | XLA ms | Pallas ms | winner |")
-    print("|---|---|---|---|---|---|---|---|")
+    print("\n| res | ic | stride | path | width | XLA fwd | Pallas fwd | "
+          "XLA grad | Pallas grad | fwd / grad winner |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
-        pm = "n/a (stride 2)" if r["pallas_ms"] is None else r["pallas_ms"]
         print(f"| {r['res']} | {r['ic']} | {r['stride']} | {r['path']} | "
-              f"{r['width']} | {r['xla_ms']} | {pm} | {r['winner']} |")
+              f"{r['width']} | {r['xla_ms']} | {r['pallas_ms']} | "
+              f"{r['xla_grad_ms']} | {r['pallas_grad_ms']} | "
+              f"{r['winner']} / {r['winner_grad']} |")
 
 
 if __name__ == "__main__":
