@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tfnas_tpu.cost.measure import force
+
 BASELINE_STEPS_PER_SEC = 287316.0 / (1.8 * 24 * 3600)  # 1.847
 BASELINE_EVAL_IMS = 32 / 0.01803  # 1775 im/s: TF-NAS-A, Titan RTX bs=32
 
@@ -54,11 +56,11 @@ def bench_eval_images_per_sec(batch=1024, iters=30):
                     jnp.bfloat16)
     for _ in range(6):
         x = chain(x)
-    jax.block_until_ready(x)
+    force(x)  # relay: only a value pull truly synchronizes
     tic = time.perf_counter()
     for _ in range(iters):
         x = chain(x)
-    jax.block_until_ready(x)
+    force(x)
     dt = (time.perf_counter() - tic) / iters
     return batch / dt
 
@@ -118,14 +120,14 @@ def main():
     for i in range(6):
         params, mom, arch_params, opt_a, m = one_iter(
             params, mom, arch_params, opt_a, i)
-    jax.block_until_ready(m["loss"])
+    force(m["loss"])  # relay: only a value pull truly synchronizes
 
     n_timed = 40
     tic = time.perf_counter()
     for i in range(n_timed):
         params, mom, arch_params, opt_a, m = one_iter(
             params, mom, arch_params, opt_a, i)
-    jax.block_until_ready(m["loss"])
+    force(m["loss"])
     dt = time.perf_counter() - tic
 
     rate = n_timed / dt

@@ -17,6 +17,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def force(x):
+    """Synchronize with the device by PULLING one scalar to the host.
+
+    On the tunneled axon relay `block_until_ready` can return without
+    waiting for execution (observed: a 50-iteration matmul chain "completed"
+    in 0.0 ms via block_until_ready but took 25 ms via a value pull), so
+    every timing boundary must read a value instead. Pulls the first
+    element of the first leaf (one tiny D2H transfer) and returns it."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf))
+
+
 def measure_latency_in_ms(fn, example_args, warmup=25, iters=100,
                           repeats=3):
     """Median per-iteration device ms of `fn(*example_args)`.
@@ -45,15 +57,15 @@ def measure_latency_in_ms(fn, example_args, warmup=25, iters=100,
         return c
 
     c = chain(rest, x0, jnp.float32(0), iters)  # compile + first chain
-    c.block_until_ready()
+    force(c)
     for i in range(max(warmup // iters, 1)):
         c = chain(rest, x0, c + np.float32((i + 1) * 1e-33), iters)
-    c.block_until_ready()
+    force(c)
     times = []
     for i in range(repeats):
         tic = time.perf_counter()
         c = chain(rest, x0, c + np.float32((i + 7) * 1e-33), iters)
-        c.block_until_ready()
+        force(c)
         times.append((time.perf_counter() - tic) / iters)
     return float(np.median(times) * 1000.0)
 

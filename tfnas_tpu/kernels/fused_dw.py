@@ -49,24 +49,59 @@ from ..ops.activations import get_act_fn
 
 KPAD = 2  # canonical 5x5 taps => halo 2
 
+# Scoped-VMEM budget for one grid cell's working set (input window double
+# buffer + elementwise intermediates + f32 accumulator). The hardware limit
+# is 16 MiB; leave headroom for Mosaic's own scratch.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _row_block(h, wdt, ctile, itemsize):
+    """Largest multiple-of-8 row block whose working set fits the budget.
+
+    Per-cell footprint model (bytes): the (hb+4)-row input window is double
+    buffered by the pipeline; the elementwise prologue + per-dx roll/mask
+    keep ~3 f32 window-sized copies live (rolls must be 32-bit on Mosaic);
+    the accumulator and output add hb rows of f32+input dtype."""
+    lanes = max(ctile, 128)  # VMEM pads the lane dim to 128
+    for hb in range(min(h, 256), 7, -8):
+        win_rows = hb + 2 * KPAD
+        in_bytes = win_rows * wdt * lanes * itemsize * 2
+        tmp = 3 * win_rows * wdt * lanes * 4
+        acc = hb * wdt * lanes * (4 + itemsize)
+        if in_bytes + tmp + acc <= _VMEM_BUDGET:
+            return hb
+    return 8
+
 
 def _kernel(x_ref, w_ref, scale_ref, offset_ref, y_ref, ssum_ref, ssq_ref,
-            *, stride, act, h, wdt, ho, wo):
-    """Grid cell: one batch element x one 128-channel tile."""
+            *, act, h, wdt, hb):
+    """Grid cell: one batch element x one row block x one channel tile.
+
+    The input window holds rows [r*hb - 2, r*hb + hb + 2) of the low-padded
+    input (global rows g = r*hb + i - KPAD of the unpadded tensor); rows
+    outside [0, h) — the materialized low pad and the Element-window high
+    padding — are masked to zero AFTER normalize+act, which is exactly the
+    conv's zero padding (normalize/act of a padded zero is NOT zero)."""
     act_fn = get_act_fn(act)
-    x = x_ref[0]                                     # [H, W, CT] bf16/f32
+    r = pl.program_id(1)
+    x = x_ref[0]                                     # [HB+4, W, CT]
     scale = scale_ref[0]                             # [CT] f32
     offset = offset_ref[0]
     xf = x.astype(jnp.float32) * scale[None, None, :] + offset[None, None, :]
     if act_fn is not None:
         xf = act_fn(xf)
-    # Pad rows only (outer dim, layout-free). Column shifts use hardware
-    # sublane rotates (pltpu.roll) with edge masking instead of unaligned
-    # slices — 4 rotates + 25 vector FMAs, zero W-padding relayouts.
-    xp = jnp.pad(xf, ((KPAD, KPAD), (0, 0), (0, 0)))   # [H+4, W, C]
+    # conv zero padding: zero rows whose global index falls outside [0, h)
+    grow = (jax.lax.broadcasted_iota(jnp.int32, (hb + 2 * KPAD, 1, 1), 0)
+            + r * hb - KPAD)
+    xp = jnp.where((grow >= 0) & (grow < h), xf, 0.0)
 
+    # Column shifts use hardware sublane rotates (pltpu.roll) with edge
+    # masking instead of unaligned slices — 4 rotates + 25 vector FMAs,
+    # zero W-padding relayouts. Rolls must stay 32-bit (Mosaic has no
+    # sub-32-bit rotate); the reference's conv-input rounding to x.dtype
+    # happens per-tap in registers instead.
     wid = jax.lax.broadcasted_iota(jnp.int32, (1, wdt, 1), 1)
-    acc = jnp.zeros((ho, wo, x.shape[-1]), jnp.float32)
+    acc = jnp.zeros((hb, wdt, x.shape[-1]), jnp.float32)
     for dx in range(2 * KPAD + 1):
         shift = dx - KPAD
         if shift == 0:
@@ -77,25 +112,43 @@ def _kernel(x_ref, w_ref, scale_ref, offset_ref, y_ref, ssum_ref, ssq_ref,
             plane = jnp.where(valid, plane, 0.0)
         for dy in range(2 * KPAD + 1):
             tap = jax.lax.slice(plane, (dy, 0, 0),
-                                (dy + ho, wo, plane.shape[2]))
-            acc = acc + tap * w_ref[dy, dx, :][None, None, :]
+                                (dy + hb, wdt, plane.shape[2]))
+            # round tap and weight to x.dtype as the reference conv does
+            tap = tap.astype(x_ref.dtype).astype(jnp.float32)
+            wv = (w_ref[dy, dx, :].astype(x_ref.dtype)
+                  .astype(jnp.float32))
+            acc = acc + tap * wv[None, None, :]
 
+    # stats must exclude out-of-range output rows of a non-dividing last
+    # row block (their y writes are discarded by the out spec, but the
+    # reductions see them)
+    yrow = jax.lax.broadcasted_iota(jnp.int32, (hb, 1, 1), 0) + r * hb
+    acc = jnp.where(yrow < h, acc, 0.0)
     y_ref[0] = acc.astype(y_ref.dtype)
-    ssum_ref[0, 0] = jnp.sum(acc, axis=(0, 1))
-    ssq_ref[0, 0] = jnp.sum(acc * acc, axis=(0, 1))
+    ssum_ref[0, 0, 0] = jnp.sum(acc, axis=(0, 1))
+    ssq_ref[0, 0, 0] = jnp.sum(acc * acc, axis=(0, 1))
 
 
 def _kernel_s2(p00_ref, p01_ref, p10_ref, p11_ref, w_ref, scale_ref,
-               offset_ref, y_ref, ssum_ref, ssq_ref, *, act, ho, wo):
+               offset_ref, y_ref, ssum_ref, ssq_ref, *, act, ho, wo, hbo):
     """Stride-2 grid cell over the 4 space-to-depth parity planes.
 
     plane[a][b][i, j] = x[2i+a, 2j+b]; with conv padding 2 the output is
     y[o, p] = sum_{dy,dx} w[dy,dx] * plane[dy&1][dx&1][o + dy//2 - 1,
-    p + dx//2 - 1] (out-of-range reads are zero). Row offsets {-1,0,+1}
-    come from a 1-row pad; column offsets from masked circular rolls."""
+    p + dx//2 - 1] (out-of-range reads are zero). Each plane window holds
+    padded-plane rows [r*hbo, r*hbo + hbo + 2) == original plane rows
+    r*hbo - 1 .. r*hbo + hbo (x is pre-padded 2 rows low, so every parity
+    plane carries 1 materialized low pad row; the high side rides Element
+    padding); out-of-range rows are masked post-act. Column offsets come
+    from masked circular rolls."""
     act_fn = get_act_fn(act)
+    r = pl.program_id(1)
     scale = scale_ref[0]
     offset = offset_ref[0]
+    xdt = p00_ref.dtype
+    grow = (jax.lax.broadcasted_iota(jnp.int32, (hbo + 2, 1, 1), 0)
+            + r * hbo - 1)
+    rvalid = (grow >= 0) & (grow < ho)
 
     planes = {}
     for (a, b), ref in (((0, 0), p00_ref), ((0, 1), p01_ref),
@@ -104,10 +157,10 @@ def _kernel_s2(p00_ref, p01_ref, p10_ref, p11_ref, w_ref, scale_ref,
             + offset[None, None, :]
         if act_fn is not None:
             pf = act_fn(pf)
-        planes[(a, b)] = jnp.pad(pf, ((1, 1), (0, 0), (0, 0)))
+        planes[(a, b)] = jnp.where(rvalid, pf, 0.0)
 
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, wo, 1), 1)
-    acc = jnp.zeros((ho, wo, scale.shape[0]), jnp.float32)
+    acc = jnp.zeros((hbo, wo, scale.shape[0]), jnp.float32)
     for dx in range(2 * KPAD + 1):
         b = dx & 1
         cx = dx // 2 - 1
@@ -121,12 +174,17 @@ def _kernel_s2(p00_ref, p01_ref, p10_ref, p11_ref, w_ref, scale_ref,
             for dy in range(a, 2 * KPAD + 1, 2):
                 ry = dy // 2 - 1
                 tap = jax.lax.slice(shifted, (ry + 1, 0, 0),
-                                    (ry + 1 + ho, wo, shifted.shape[2]))
-                acc = acc + tap * w_ref[dy, dx, :][None, None, :]
+                                    (ry + 1 + hbo, wo, shifted.shape[2]))
+                # round tap/weight to x.dtype as the reference conv does
+                tap = tap.astype(xdt).astype(jnp.float32)
+                wv = w_ref[dy, dx, :].astype(xdt).astype(jnp.float32)
+                acc = acc + tap * wv[None, None, :]
 
+    yrow = jax.lax.broadcasted_iota(jnp.int32, (hbo, 1, 1), 0) + r * hbo
+    acc = jnp.where(yrow < ho, acc, 0.0)
     y_ref[0] = acc.astype(y_ref.dtype)
-    ssum_ref[0, 0] = jnp.sum(acc, axis=(0, 1))
-    ssq_ref[0, 0] = jnp.sum(acc * acc, axis=(0, 1))
+    ssum_ref[0, 0, 0] = jnp.sum(acc, axis=(0, 1))
+    ssq_ref[0, 0, 0] = jnp.sum(acc * acc, axis=(0, 1))
 
 
 def _reference(x, w, scale, offset, *, stride, act):
@@ -145,9 +203,22 @@ def _reference(x, w, scale, offset, *, stride, act):
     return y, jnp.sum(yf, axis=(0, 1, 2)), jnp.sum(yf * yf, axis=(0, 1, 2))
 
 
+def _row_block_s2(ho, wo, ctile, itemsize):
+    """Output-row block for the stride-2 kernel: 4 plane windows (double
+    buffered input + ~2 f32 copies each) + the f32 accumulator."""
+    lanes = max(ctile, 128)
+    for hbo in range(min(ho, 256), 7, -8):
+        win = (hbo + 2) * wo * lanes
+        acc = hbo * wo * lanes * (4 + itemsize)
+        if 4 * win * (2 * itemsize + 2 * 4) + acc <= _VMEM_BUDGET:
+            return hbo
+    return 8
+
+
 def _pallas_forward_s2(x, w, scale, offset, *, act, ctile=128):
     """Stride-2 path: space-to-depth into 4 parity planes (one XLA gather
-    pass over x), then per-plane stride-1 accumulation in the kernel."""
+    pass over the 2-row-low-padded x, which gives each plane its 1-row low
+    halo), then per-plane stride-1 accumulation in a row-tiled kernel."""
     n, h, wdt, c = x.shape
     assert h % 2 == 0 and wdt % 2 == 0, "stride-2 sites have even H/W"
     ho, wo = h // 2, wdt // 2
@@ -156,38 +227,47 @@ def _pallas_forward_s2(x, w, scale, offset, *, act, ctile=128):
     ctiles = max(c // ctile, 1)
     ctile = min(ctile, c)
 
-    xs = x.reshape(n, ho, 2, wo, 2, c)
+    hbo = _row_block_s2(ho, wo, ctile, x.dtype.itemsize)
+    rtiles = -(-ho // hbo)
+    # padded planes have ho+1 rows; window max end is rtiles*hbo + 2
+    pad_hi = rtiles * hbo + 2 - (ho + 1)
+    xp = jnp.pad(x, ((0, 0), (2, 0), (0, 0), (0, 0)))
+    xs = xp.reshape(n, ho + 1, 2, wo, 2, c)
     planes = [xs[:, :, a, :, b, :] for a in (0, 1) for b in (0, 1)]
 
-    kern = functools.partial(_kernel_s2, act=act, ho=ho, wo=wo)
-    plane_spec = pl.BlockSpec((1, ho, wo, ctile), lambda i, j: (i, 0, 0, j),
-                              memory_space=pltpu.VMEM)
+    def p_idx(i, r, j):
+        return (i, r * hbo, 0, 0 if ctiles == 1 else j * ctile)
+
+    kern = functools.partial(_kernel_s2, act=act, ho=ho, wo=wo, hbo=hbo)
+    plane_spec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(hbo + 2, (0, pad_hi)), pl.Element(wo),
+         pl.Element(ctile)), p_idx, memory_space=pltpu.VMEM)
     y, psum, psq = pl.pallas_call(
         kern,
-        grid=(n, ctiles),
+        grid=(n, rtiles, ctiles),
         in_specs=[plane_spec] * 4 + [
             pl.BlockSpec((2 * KPAD + 1, 2 * KPAD + 1, ctile),
-                         lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ctile), lambda i, j: (0, j),
+                         lambda i, r, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ctile), lambda i, r, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ctile), lambda i, j: (0, j),
+            pl.BlockSpec((1, ctile), lambda i, r, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, ho, wo, ctile), lambda i, j: (i, 0, 0, j),
+            pl.BlockSpec((1, hbo, wo, ctile), lambda i, r, j: (i, r, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ctile), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, 1, 1, ctile), lambda i, r, j: (i, r, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ctile), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, 1, 1, ctile), lambda i, r, j: (i, r, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, ho, wo, c), x.dtype),
-            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, rtiles, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, rtiles, 1, c), jnp.float32),
         ],
     )(*planes, w, scale.reshape(1, c), offset.reshape(1, c))
-    return y, jnp.sum(psum, axis=(0, 1)), jnp.sum(psq, axis=(0, 1))
+    return y, jnp.sum(psum, axis=(0, 1, 2)), jnp.sum(psq, axis=(0, 1, 2))
 
 
 def _pallas_forward(x, w, scale, offset, *, stride, act, ctile=128):
@@ -195,44 +275,62 @@ def _pallas_forward(x, w, scale, offset, *, stride, act, ctile=128):
         return _pallas_forward_s2(x, w, scale, offset, act=act, ctile=ctile)
     assert stride == 1, "Pallas fused_dw supports strides 1 and 2"
     n, h, wdt, c = x.shape
-    ho = (h + 2 * KPAD - (2 * KPAD + 1)) // stride + 1
-    wo = (wdt + 2 * KPAD - (2 * KPAD + 1)) // stride + 1
     if c % ctile != 0:
         ctile = c  # non-128-multiple widths: single channel tile
     ctiles = max(c // ctile, 1)
     ctile = min(ctile, c)
 
-    kern = functools.partial(_kernel, stride=stride, act=act, h=h, wdt=wdt,
-                             ho=ho, wo=wo)
+    # Row-tiled grid with overlapping halo windows (pl.Element). Mosaic
+    # does not support low-side Element padding, so the low halo is
+    # materialized: pre-pad KPAD rows at the top (one cheap XLA pad) and
+    # window row r*hb of the padded tensor == global row r*hb - KPAD. The
+    # high halo and a non-dividing last block ride the supported high-side
+    # Element padding; the kernel masks all out-of-range rows post-act.
+    hb = _row_block(h, wdt, ctile, x.dtype.itemsize)
+    rtiles = -(-h // hb)
+    pad_hi = rtiles * hb + KPAD - h  # padded len h+KPAD, max end +2*KPAD
+    xp = jnp.pad(x, ((0, 0), (KPAD, 0), (0, 0), (0, 0)))
+
+    kern = functools.partial(_kernel, act=act, h=h, wdt=wdt, hb=hb)
+    win = hb + 2 * KPAD
+
+    # Mosaic must PROVE element-window starts divisible by the lane tiling:
+    # j*ctile is only provable when ctile % 128 == 0, so emit a literal 0
+    # for the single-tile case (non-128-multiple widths always take it —
+    # every multi-tile soft-path width in the space is a 128 multiple).
+    def x_idx(i, r, j):
+        return (i, r * hb, 0, 0 if ctiles == 1 else j * ctile)
+
     y, psum, psq = pl.pallas_call(
         kern,
-        grid=(n, ctiles),
+        grid=(n, rtiles, ctiles),
         in_specs=[
-            pl.BlockSpec((1, h, wdt, ctile), lambda i, j: (i, 0, 0, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pl.Element(1), pl.Element(win, (0, pad_hi)),
+                          pl.Element(wdt), pl.Element(ctile)),
+                         x_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * KPAD + 1, 2 * KPAD + 1, ctile),
-                         lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ctile), lambda i, j: (0, j),
+                         lambda i, r, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ctile), lambda i, r, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ctile), lambda i, j: (0, j),
+            pl.BlockSpec((1, ctile), lambda i, r, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, ho, wo, ctile), lambda i, j: (i, 0, 0, j),
+            pl.BlockSpec((1, hb, wdt, ctile), lambda i, r, j: (i, r, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ctile), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, 1, 1, ctile), lambda i, r, j: (i, r, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ctile), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, 1, 1, ctile), lambda i, r, j: (i, r, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, ho, wo, c), x.dtype),
-            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, h, wdt, c), x.dtype),
+            jax.ShapeDtypeStruct((n, rtiles, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, rtiles, 1, c), jnp.float32),
         ],
-    )(x, w, scale.reshape(1, c), offset.reshape(1, c))
-    # reduce per-batch partial stats (tiny [N, 1, C] arrays)
-    return y, jnp.sum(psum, axis=(0, 1)), jnp.sum(psq, axis=(0, 1))
+    )(xp, w, scale.reshape(1, c), offset.reshape(1, c))
+    # reduce per-(batch, row-block) partial stats (tiny [N, R, 1, C] arrays)
+    return y, jnp.sum(psum, axis=(0, 1, 2)), jnp.sum(psq, axis=(0, 1, 2))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

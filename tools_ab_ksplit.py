@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tfnas_tpu.cost.measure import force
+
 
 def main():
     from tfnas_tpu.models import search_space as ss
@@ -57,7 +59,7 @@ def main():
             a, opt_a, m = steps.arch_step(params, a, opt_a, masks, x, y,
                                           lat_vec, jnp.float32(1.0),
                                           jnp.float32(5.0), key)
-            jax.block_until_ready(m["loss_a"])
+            force(m["loss_a"])
             xx = x
             n = 10
             tic = time.perf_counter()
@@ -66,7 +68,7 @@ def main():
                                               y, lat_vec, jnp.float32(1.0),
                                               jnp.float32(5.0), key)
                 xx = x + (m["loss_a"] * 1e-8).astype(x.dtype)
-            jax.block_until_ready(m["loss_a"])
+            force(m["loss_a"])
             ms = (time.perf_counter() - tic) / n * 1000
             results[name] = (ms, np.asarray(a["log_alphas"]))
             print(f"pass{pass_idx} {name:16s} arch_step {ms:8.2f} ms  "

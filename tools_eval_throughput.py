@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tfnas_tpu.cost.measure import force
+
 
 def main():
     from tfnas_tpu.models.eval_net import EvalNetwork
@@ -43,15 +45,15 @@ def main():
             return x + (logits.mean() * 1e-6).astype(x.dtype)
 
         x = chain(x0)
-        jax.block_until_ready(x)
+        force(x)  # relay: only a value pull truly syncs
         for _ in range(5):
             x = chain(x)
-        jax.block_until_ready(x)
+        force(x)
         iters = 30
         tic = time.perf_counter()
         for _ in range(iters):
             x = chain(x)
-        jax.block_until_ready(x)
+        force(x)
         dt = (time.perf_counter() - tic) / iters
         print(f"bs={batch}: {dt * 1000:.3f} ms/batch, "
               f"{batch / dt:,.0f} images/sec "

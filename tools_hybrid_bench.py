@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tfnas_tpu.cost.measure import force
+
 
 def build(space, batch, size, ncls, seed=0):
     """(net, state dict, step fns, operands) for one space."""
@@ -95,24 +97,22 @@ def main():
 
     # compile + warm both variants before any timing
     for sp, s in states.items():
-        jax.block_until_ready(wstep(s, 0))
-        jax.block_until_ready(astep(s, 0))
+        force(wstep(s, 0))
+        force(astep(s, 0))
         for i in range(1, 4):
             wstep(s, i)
             astep(s, i)
-        jax.block_until_ready(s["params"]["stem"]
-                              if "stem" in s["params"] else
-                              jax.tree_util.tree_leaves(s["params"])[0])
+        force(s["params"])  # relay: only a value pull truly syncs
         print(f"{sp}: warmed")
 
     res = {sp: {"w_ms": [], "a_ms": []} for sp in states}
     for i in range(args.iters):          # interleaved warm passes
         for sp, s in states.items():
             tic = time.perf_counter()
-            jax.block_until_ready(wstep(s, 100 + i))
+            force(wstep(s, 100 + i))
             res[sp]["w_ms"].append((time.perf_counter() - tic) * 1e3)
             tic = time.perf_counter()
-            jax.block_until_ready(astep(s, 100 + i))
+            force(astep(s, 100 + i))
             res[sp]["a_ms"].append((time.perf_counter() - tic) * 1e3)
 
     out = {}

@@ -48,22 +48,18 @@ def unique_sites():
     return out
 
 
-def time_fn(fn, args, iters, chain_idx=0):
-    """Median of `iters` chained calls (x = fn(...) feeds the next)."""
-    args = list(args)
-    out = fn(*args)
-    jax.block_until_ready(out[0] if isinstance(out, tuple) else out)
-    times = []
-    for _ in range(iters):
-        tic = time.perf_counter()
-        out = fn(*args)
-        y = out[0] if isinstance(out, tuple) else out
-        jax.block_until_ready(y)
-        times.append(time.perf_counter() - tic)
-        # chain: derive the next input from the output (relay-cache safe)
-        h = args[chain_idx]
-        args[chain_idx] = h + (y.mean() * 1e-6).astype(h.dtype)
-    return float(np.median(times) * 1000)
+def time_fn(fn, args, iters):
+    """Per-iteration ms via the repo's scan-chained discipline.
+
+    Per-call dispatch + block_until_ready measures NONPHYSICAL times
+    through the axon relay even with chained inputs (observed ~25 us for a
+    616 MB-tensor segment); cost.measure.measure_latency_in_ms runs the
+    iterations inside ONE compiled lax.scan whose carry perturbs the last
+    argument, so every iteration depends on the previous one and the whole
+    chain is one dispatch. `args` must order the perturbed operand last."""
+    from tfnas_tpu.cost.measure import measure_latency_in_ms
+    return measure_latency_in_ms(fn, args, warmup=iters, iters=iters,
+                                 repeats=3)
 
 
 def main():
@@ -88,16 +84,15 @@ def main():
             mask = jnp.ones((width,), jnp.float32)
 
             def seg(net):
-                @jax.jit
-                def f(h, k, m):
+                # h last: it is the operand the timing chain perturbs
+                def f(k, m, h):
                     return net._dw_middle(h, k, m, act, stride)
                 return f
 
             def seg_grad(net):
                 # production context: the segment under grad (w.r.t. the
                 # input and taps), summed to a scalar like a loss would
-                @jax.jit
-                def f(h, k, m):
+                def f(k, m, h):
                     def loss(h, k):
                         y = net._dw_middle(h, k, m, act, stride)
                         return jnp.sum(y.astype(jnp.float32) ** 2)
@@ -111,9 +106,9 @@ def main():
                 t_x = t_p = None
                 fx, fp = mk(net_xla), mk(net_pls)
                 for _ in range(args.rounds):  # interleaved warm rounds
-                    tx = time_fn(fx, (x, dwk, mask), args.iters)
+                    tx = time_fn(fx, (dwk, mask, x), args.iters)
                     t_x = tx if t_x is None else min(t_x, tx)
-                    tp = time_fn(fp, (x, dwk, mask), args.iters)
+                    tp = time_fn(fp, (dwk, mask, x), args.iters)
                     t_p = tp if t_p is None else min(t_p, tp)
                 legs[leg] = (t_x, t_p)
 

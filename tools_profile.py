@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tfnas_tpu.cost.measure import force
+
 
 def timeit(fn, args, x_idx, warmup=3, iters=10):
     """Average ms/call with the input at `x_idx` chained from the previous
@@ -27,16 +29,16 @@ def timeit(fn, args, x_idx, warmup=3, iters=10):
         return x0 + (leaf.ravel()[0] * 1e-8).astype(x0.dtype)
 
     out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)  # relay: only a value pull truly syncs
     for _ in range(warmup):
         args[x_idx] = chain(out)
         out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)
     tic = time.perf_counter()
     for _ in range(iters):
         args[x_idx] = chain(out)
         out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)
     return (time.perf_counter() - tic) / iters * 1000
 
 
@@ -137,7 +139,7 @@ def main():
     # weight_step donates params/mom; time manually with fresh feed
     p2, m2, met = wstep(jax.tree_util.tree_map(jnp.copy, params),
                         jax.tree_util.tree_map(jnp.copy, mom))
-    jax.block_until_ready(met["loss"])
+    force(met["loss"])
     tic = time.perf_counter()
     n = 10
     xx = x
@@ -146,21 +148,21 @@ def main():
                                         update_masks, xx, y,
                                         jnp.float32(0.025), key)
         xx = x + (met["loss"] * 1e-8).astype(x.dtype)  # chain vs relay cache
-    jax.block_until_ready(met["loss"])
+    force(met["loss"])
     rows.append(("weight_step (bi-sample)",
                  (time.perf_counter() - tic) / n * 1000))
 
     a2, o2, met = steps.arch_step(params, jax.tree_util.tree_map(
         jnp.copy, arch_params), opt_a, masks, x, y, lat_vec,
         jnp.float32(1.0), jnp.float32(5.0), key)
-    jax.block_until_ready(met["loss_a"])
+    force(met["loss_a"])
     tic = time.perf_counter()
     xx = x
     for _ in range(n):
         a2, o2, met = steps.arch_step(params, a2, o2, masks, xx, y, lat_vec,
                                       jnp.float32(1.0), jnp.float32(5.0), key)
         xx = x + (met["loss_a"] * 1e-8).astype(x.dtype)
-    jax.block_until_ready(met["loss_a"])
+    force(met["loss_a"])
     rows.append(("arch_step (soft)", (time.perf_counter() - tic) / n * 1000))
 
     for name, ms in rows:

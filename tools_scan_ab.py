@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tfnas_tpu.cost.measure import force
+
 from tfnas_tpu.models import search_space as ss
 from tfnas_tpu.models.supernet import SuperNetwork
 from tfnas_tpu.search.parser import get_mc_num_dddict
@@ -103,7 +105,7 @@ def main():
     for name, fn in variants.items():
         tic = time.perf_counter()
         out = fn(x, y)
-        jax.block_until_ready(out)
+        force(out)
         print(f"{name}: compiled+first pass in "
               f"{time.perf_counter() - tic:.1f}s")
 
@@ -112,7 +114,7 @@ def main():
         for name, fn in variants.items():
             tic = time.perf_counter()
             out = fn(x, y)
-            jax.block_until_ready(out)
+            force(out)
             dt = time.perf_counter() - tic
             rate = args.timed_units * 2 / dt
             results[name].append(rate)

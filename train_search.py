@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tfnas_tpu.cost.measure import force
 from tfnas_tpu.cost.lut import lat_vectors_for_mc, load_lat_lookup
 from tfnas_tpu.data import (DataLoader, DevicePrefetcher, ImageList,
                             synthetic_loader)
@@ -443,7 +444,7 @@ def main():
             _train_it = _timed(_train_it)
         for step, (x, y) in enumerate(_train_it):
             if profiling and step == args.profile_steps:
-                jax.block_until_ready(m["loss"])
+                force(m["loss"])  # relay: a pull, not block_until_ready
                 jax.profiler.stop_trace()
                 profiling = False
                 logging.info('profiler trace written to %s/profile', run_dir)
@@ -482,7 +483,7 @@ def main():
                     avg["loss_a"], avg["loss_l"])
 
         if profiling:
-            jax.block_until_ready(m["loss"])
+            force(m["loss"])
             jax.profiler.stop_trace()
             logging.info('profiler trace written to %s/profile', run_dir)
         epoch_avg = mavg(np.asarray(macc))
