@@ -164,6 +164,34 @@ def build_analytic_lut(batch=32, scale=1.0, space="mbconv"):
     return lut
 
 
+def build_space_analytic_lut(sp, batch=32, scale=1.0):
+    """Analytic LUT for an arbitrary make_space namespace (tiny_space test
+    fixtures, reduced dryrun spaces): one entry per unique block key over
+    mc 1..mask length. 'base' (unsearched stems/head) is a small constant —
+    it only offsets the target, block deltas drive elasticity."""
+    keys = sp.build_lat_lookup_key_dddict()
+    masks = sp.build_mc_mask_dddict()
+    max_mc_by_key = {}
+    for stage in keys:
+        for block in keys[stage]:
+            for op_idx, key in keys[stage][block].items():
+                mm = int(masks[stage][block][op_idx].shape[0])
+                max_mc_by_key[key] = max(max_mc_by_key.get(key, 0), mm)
+    lut = OrderedDict()
+    lut["base"] = 0.01 * scale
+    for key, max_mc in max_mc_by_key.items():
+        # MBInvertedResBlock_{res}_{cin}_{se}_{cout}_k{K}_s{S}_{act}
+        parts = key.split("_")
+        res, cin, se, cout = (int(parts[1]), int(parts[2]), int(parts[3]),
+                              int(parts[4]))
+        k, stride = int(parts[5][1:]), int(parts[6][1:])
+        lut[key] = OrderedDict(
+            (mc, analytic_block_ms(res, cin, se, cout, k, stride, mc,
+                                   batch) * scale)
+            for mc in range(1, max_mc + 1))
+    return lut
+
+
 # -- measured mode ---------------------------------------------------------
 
 def isotonic_fit(vals):

@@ -60,10 +60,13 @@ def lat_vectors_for_mc(lat_lookup, mc_num_dddict, key_dddict=None,
         key_dddict = ss.lat_lookup_key_dddict
     if num_ops is None:
         num_ops = ss.NUM_OPS
-    out = np.zeros((ss.TOTAL_BLOCKS, num_ops), np.float32)
+    # iteration order comes from the (Ordered) key dddict itself so reduced
+    # spaces (search_space.make_space) reuse this path unchanged
+    total_blocks = sum(len(key_dddict[stage]) for stage in key_dddict)
+    out = np.zeros((total_blocks, num_ops), np.float32)
     b = 0
-    for stage in ss.STAGE_NAMES:
-        for block in ss.block_names(stage):
+    for stage in key_dddict:
+        for block in key_dddict[stage]:
             for op_idx in key_dddict[stage][block]:
                 key = key_dddict[stage][block][op_idx]
                 mc = mc_num_dddict[stage][block][op_idx]

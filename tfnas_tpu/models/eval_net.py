@@ -42,11 +42,15 @@ class EvalNetwork:
 
     @classmethod
     def from_parsed_arch(cls, num_classes, parsed_arch, mc_num_dddict,
-                         dropout_rate=0.0, drop_connect_rate=0.0):
+                         dropout_rate=0.0, drop_connect_rate=0.0,
+                         space=None):
         """Reference Network.__init__ (model_eval.py:31-106): block op/mc
-        chosen by parsed_arch/mc_num_dddict over the fixed macro skeleton."""
+        chosen by parsed_arch/mc_num_dddict over the fixed macro skeleton.
+        space: macro-skeleton namespace (search_space.make_space); None =
+        the reference TF-NAS space."""
+        sp = space or ss
         stages = OrderedDict()
-        for stage, spec in ss.STAGE_SPECS.items():
+        for stage, spec in sp.STAGE_SPECS.items():
             blocks = []
             for i, block in enumerate(parsed_arch.get(stage, {})):
                 op_idx = parsed_arch[stage][block]
@@ -58,16 +62,16 @@ class EvalNetwork:
                         (spec["ics"][i], spec["ocs"][i], spec["ss"][i],
                          spec["acts"][i]), mc, affine=True))
                 else:
-                    blocks.append(ss.make_op(op_idx, spec["ics"][i], mc,
+                    blocks.append(sp.make_op(op_idx, spec["ics"][i], mc,
                                              spec["ocs"][i], spec["ss"][i],
                                              True, spec["acts"][i]))
             stages[stage] = blocks
         return cls(
-            first_stem=ConvLayer(affine=True, **ss.STEM_CONV),
-            second_stem=MBInvertedResBlock(affine=True, **ss.SECOND_STEM),
+            first_stem=ConvLayer(affine=True, **sp.STEM_CONV),
+            second_stem=MBInvertedResBlock(affine=True, **sp.SECOND_STEM),
             stages=stages,
-            feature_mix_layer=ConvLayer(affine=True, **ss.HEAD_CONV),
-            classifier=LinearLayer(ss.HEAD_FEATURES, num_classes),
+            feature_mix_layer=ConvLayer(affine=True, **sp.HEAD_CONV),
+            classifier=LinearLayer(sp.HEAD_FEATURES, num_classes),
             dropout_rate=dropout_rate,
             drop_connect_rate=drop_connect_rate,
         )

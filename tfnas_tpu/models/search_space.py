@@ -193,6 +193,8 @@ def make_space(stage_specs, *, stem_conv, second_stem, head_conv,
     sp.STAGE_DEPTHS = {name: len(spec["ics"])
                        for name, spec in sp.STAGE_SPECS.items()}
     sp.TOTAL_BLOCKS = sum(sp.STAGE_DEPTHS.values())
+    sp.block_names = lambda stage: [
+        f"block{i + 1}" for i in range(sp.STAGE_DEPTHS[stage])]
 
     res = input_size // sp.STEM_CONV["stride"]
     sp.BLOCK_INPUT_RES = OrderedDict()

@@ -92,25 +92,28 @@ def shrink_or_expand(parsed_arch, mc_num_dddict, mc_maxnum_dddict,
     info = log or (lambda *a: None)
     before_lat = get_lookup_latency(parsed_arch, mc_num_dddict,
                                     lat_lookup_key_dddict, lat_lookup)
+    # the progressive schedule spans whatever stages the space has (6 for
+    # the reference space; reduced make_space fixtures have fewer)
+    n_stages = len(parsed_arch)
     if before_lat > target_lat:
         info("Shrinking......")
-        stages = [f"stage{x}" for x in range(1, 7)]
+        stages = [f"stage{x}" for x in range(1, n_stages + 1)]
         mc_num_dddict, after_lat = fit_mc_num_by_latency(
             parsed_arch, mc_num_dddict, mc_maxnum_dddict,
             lat_lookup_key_dddict, lat_lookup, target_lat, stages, sign=-1)
-        for start in range(2, 7):
-            stages = [f"stage{x}" for x in range(start, 7)]
+        for start in range(2, n_stages + 1):
+            stages = [f"stage{x}" for x in range(start, n_stages + 1)]
             mc_num_dddict, after_lat = fit_mc_num_by_latency(
                 parsed_arch, mc_num_dddict, mc_maxnum_dddict,
                 lat_lookup_key_dddict, lat_lookup, target_lat, stages, sign=1)
     elif before_lat < target_lat:
         info("Expanding......")
-        stages = [f"stage{x}" for x in range(1, 7)]
+        stages = [f"stage{x}" for x in range(1, n_stages + 1)]
         mc_num_dddict, after_lat = fit_mc_num_by_latency(
             parsed_arch, mc_num_dddict, mc_maxnum_dddict,
             lat_lookup_key_dddict, lat_lookup, target_lat, stages, sign=1)
-        for start in range(2, 7):
-            stages = [f"stage{x}" for x in range(start, 7)]
+        for start in range(2, n_stages + 1):
+            stages = [f"stage{x}" for x in range(start, n_stages + 1)]
             mc_num_dddict, after_lat = fit_mc_num_by_latency(
                 parsed_arch, mc_num_dddict, mc_maxnum_dddict,
                 lat_lookup_key_dddict, lat_lookup, target_lat, stages, sign=1)

@@ -34,18 +34,29 @@ def get_op_and_depth_weights(ckpt_or_path):
     arch = ckpt.get("arch_params", ckpt)
     log_alphas = np.asarray(arch["log_alphas"])
     betas = arch["betas"]
+    # stage names come from the betas dict itself (sorted by index) so
+    # reduced spaces (search_space.tiny_space) parse with the same code
+    stage_names = sorted(betas, key=lambda s: int(s[len("stage"):]))
     op_weights = [np.exp(log_alphas[b]) for b in range(log_alphas.shape[0])]
     depth_weights = [_softmax(np.asarray(betas[stage]))
-                     for stage in ss.STAGE_NAMES]
+                     for stage in stage_names]
     return op_weights, depth_weights
 
 
-def parse_architecture(op_weights, depth_weights):
+def parse_architecture(op_weights, depth_weights, space=None):
     """argmax op per block; argmax+1 depth per stage; trailing blocks deleted
-    (parsing_model.py:44-73)."""
+    (parsing_model.py:44-73). space: macro-skeleton namespace; None = the
+    reference TF-NAS space."""
+    sp = space or ss
+
+    def _blocks(stage):
+        if hasattr(sp, "block_names"):
+            return sp.block_names(stage)
+        return [f"block{i + 1}" for i in range(sp.STAGE_DEPTHS[stage])]
+
     parsed_arch = OrderedDict(
-        (stage, OrderedDict((block, -1) for block in ss.block_names(stage)))
-        for stage in ss.STAGE_NAMES)
+        (stage, OrderedDict((block, -1) for block in _blocks(stage)))
+        for stage in sp.STAGE_NAMES)
 
     stages, blocks = [], []
     for stage in parsed_arch:
@@ -58,9 +69,9 @@ def parse_architecture(op_weights, depth_weights):
         parsed_arch[stage][block] = op_max_index
 
     depth_max_indexes = [int(np.argmax(x)) + 1 for x in depth_weights]
-    for stage_index, depth_max_index in enumerate(depth_max_indexes, start=1):
-        stage = f"stage{stage_index}"
-        for block_index in range(depth_max_index + 1, 5 + 1):
+    for stage, depth_max_index in zip(parsed_arch, depth_max_indexes):
+        n_blocks = len(parsed_arch[stage])
+        for block_index in range(depth_max_index + 1, n_blocks + 1):
             block = f"block{block_index}"
             if block in parsed_arch[stage]:
                 del parsed_arch[stage][block]

@@ -83,10 +83,12 @@ parser.add_argument('--target_lat', type=float, default=15.0)
 parser.add_argument('--bf16', action='store_true', default=True)
 parser.add_argument('--no_bf16', dest='bf16', action='store_false')
 parser.add_argument('--space', type=str, default='mbconv',
-                    choices=['mbconv', 'hybrid'],
-                    help='candidate space: the 8-op reference MBConv space '
-                         'or the 9-op hybrid conv/ViT space (attention '
-                         'candidates at stages 4-6)')
+                    choices=['mbconv', 'hybrid', 'tiny'],
+                    help='candidate space: the 8-op reference MBConv space, '
+                         'the 9-op hybrid conv/ViT space (attention '
+                         'candidates at stages 4-6), or the 2-stage tiny '
+                         'fixture space (seconds-scale pipeline smokes; '
+                         'analytic LUT built in-process)')
 parser.add_argument('--synthetic', action='store_true',
                     help='use synthetic data instead of ImageNet lists')
 parser.add_argument('--resume', type=str, default='',
@@ -114,23 +116,39 @@ parser.add_argument('--scan_units', type=int, default=1,
 
 
 def main():
+    from tfnas_tpu.utils.platform import honor_cpu_platform_request
+    honor_cpu_platform_request()
     args = parser.parse_args()
     run_dir = setup_experiment(args.save, 'search', args.note)
     logging.info("args = %s", args)
     logging.info("jax devices: %s", jax.devices())
 
     hybrid = args.space == 'hybrid'
+    tiny_sp = None
     if hybrid:
         from tfnas_tpu.models import hybrid_space as hs
         from tfnas_tpu.models.supernet_hybrid import HybridSuperNetwork
         mc_mask_dddict = hs.build_mc_mask_dddict()
         key_dddict = hs.build_lat_lookup_key_dddict()
         space_num_ops = hs.NUM_OPS
+    elif args.space == 'tiny':
+        tiny_sp = ss.tiny_space(args.image_size)
+        mc_mask_dddict = tiny_sp.build_mc_mask_dddict()
+        key_dddict = tiny_sp.build_lat_lookup_key_dddict()
+        space_num_ops = tiny_sp.NUM_OPS
     else:
         mc_mask_dddict = ss.build_mc_mask_dddict()
         key_dddict = ss.lat_lookup_key_dddict
         space_num_ops = ss.NUM_OPS
-    lat_lookup = load_lat_lookup(args.lookup_path)
+    if tiny_sp is not None:
+        # the shipped tables cover the reference space only; the tiny
+        # fixture space gets a deterministic in-process analytic table
+        from make_lat_lut_tpu import build_space_analytic_lut
+        lat_lookup = build_space_analytic_lut(tiny_sp)
+        logging.info('tiny space: analytic in-process LUT (%d keys)',
+                     len(lat_lookup) - 1)
+    else:
+        lat_lookup = load_lat_lookup(args.lookup_path)
     if hybrid:
         missing = {key_dddict[st][b][hs.VIT_OP_IDX]
                    for st in key_dddict for b in key_dddict[st]
@@ -156,7 +174,7 @@ def main():
         lat_lookup["base"] + lv.max(1).sum(), args.target_lat)
 
     net = (HybridSuperNetwork(args.num_classes) if hybrid
-           else SuperNetwork(args.num_classes))
+           else SuperNetwork(args.num_classes, space=tiny_sp))
     key = jax.random.PRNGKey(args.seed)
     key, init_key = jax.random.split(key)
     # one compiled program instead of ~200 individually-dispatched inits
@@ -494,7 +512,7 @@ def main():
         logging.info('The current arch parameters are:')
         for row in np.exp(np.asarray(arch_params["log_alphas"])):
             logging.info(' '.join(f'{p:.6f}' for p in row))
-        for stage in ss.STAGE_NAMES:
+        for stage in net.ss.STAGE_NAMES:
             b = np.asarray(arch_params["betas"][stage])
             sm = np.exp(b - b.max());  sm = sm / sm.sum()
             logging.info(' '.join(f'{p:.6f}' for p in sm))
@@ -526,7 +544,8 @@ def main():
             logging.info('Now shrinking or expanding the arch')
             op_weights, depth_weights = get_op_and_depth_weights(
                 {"arch_params": to_numpy_tree(arch_params)})
-            parsed_arch = parse_architecture(op_weights, depth_weights)
+            parsed_arch = parse_architecture(op_weights, depth_weights,
+                                             space=net.ss)
             mc_num_dddict = get_mc_num_dddict(mc_mask_dddict)
             mc_num_dddict, before_lat, after_lat = shrink_or_expand(
                 parsed_arch, mc_num_dddict, mc_maxnum_dddict,
