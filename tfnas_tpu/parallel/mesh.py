@@ -66,8 +66,17 @@ def maybe_distributed_init():
     where initialize() autodetects everything from the metadata server).
     Reference parity: train_eval_amp.py:121-131."""
     import os
-    if any(os.environ.get(v) for v in
-           ("JAX_COORDINATOR_ADDRESS", "TFNAS_DISTRIBUTED")):
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and \
+            os.environ.get("JAX_NUM_PROCESSES"):
+        # explicit local/manual launch (incl. the 2-process CPU-backend
+        # smoke in tests/test_multiprocess.py): pass the trio explicitly —
+        # env-var autodetection plugins vary across jax versions
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+    elif any(os.environ.get(v) for v in
+             ("JAX_COORDINATOR_ADDRESS", "TFNAS_DISTRIBUTED")):
         jax.distributed.initialize()
     return jax.process_index(), jax.process_count()
 

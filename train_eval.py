@@ -94,6 +94,8 @@ def build_model(args):
 
 
 def main():
+    from tfnas_tpu.utils.platform import honor_cpu_platform_request
+    honor_cpu_platform_request()
     args = parser.parse_args()
     # multi-process launch (pod): one driver process per host, coordinated
     # via jax.distributed (reference NCCL init, train_eval_amp.py:121-131)
@@ -210,6 +212,10 @@ def main():
         # prefetcher double-buffers sharded H2D transfers ahead of compute
         for step, (x, y) in enumerate(
                 DevicePrefetcher(train_iter(epoch), depth=2, sharding=xsh)):
+            if proc_cnt > 1 and epoch == start_epoch and step == 0:
+                # multi-host evidence: the jitted step sees the GLOBAL batch
+                # assembled from every host's local shard
+                logging.info('global train batch x: %s', tuple(x.shape))
             key, k1 = jax.random.split(key)
             state, m = train_step(state, prep(x), y, jnp.float32(lr), k1)
             macc = _acc3(macc, m, jnp.float32(len(y)))

@@ -83,6 +83,8 @@ parser.add_argument('--image_size', type=int, default=224)
 
 
 def main():
+    from tfnas_tpu.utils.platform import honor_cpu_platform_request
+    honor_cpu_platform_request()
     args = parser.parse_args()
     proc_idx, proc_cnt = maybe_distributed_init()
     if is_main_process():
