@@ -1,20 +1,41 @@
 #!/usr/bin/env python
-"""Generate a procedural real-JPEG classification dataset.
+"""Generate a procedural real-JPEG classification dataset (v2, compositional).
 
 Purpose: exercise the FULL search pipeline — C++ libjpeg decode, fused
 augment, threaded loader, elasticity on a measured LUT — end-to-end on a
 box without ImageNet (the reference recipe trains on ImageNet-100,
-train_search.py:124-153). Images are real JPEG files with class-dependent
-procedural textures, so the task is genuinely learnable: each class has a
-fixed signature (two hues, a pattern family, orientation, frequency) and
-every image randomizes phase, scale, noise and lighting on top.
+/root/reference/train_search.py:124-153), with a task hard enough that the
+DEPTH search freedom (sink-connecting betas,
+/root/reference/models/model_search.py:157-206) is genuinely exercised.
+
+v1 flaw (round-2 evidence, docs/E2E_PROXY_RUN.md): classes had FIXED hue
+pairs, so a color histogram — computable by the stem alone — separated all
+100 classes and every stage's beta collapsed to depth 1. v2 removes every
+shortcut:
+
+  * class = (fine texture F_a, coarse structure S_b), label = 10*a + b;
+  * the image is the coarse structure's binary mask M (minority "figure"
+    region, ~35% area) filled with fine texture F_a, while the majority
+    "ground" region is filled with a per-image DISTRACTOR texture drawn
+    from the other 9 fine textures;
+  * all four region colors are randomized per image (uniform hue, random
+    light/dark assignment), so color carries zero class information;
+  * fine textures and coarse structures are SHAPE-defined (stripe/checker/
+    ring/blob/grid/zigzag/dot families at different duty/orientation) and
+    chosen to survive horizontal flips and RandomResizedCrop scale jitter.
+
+Consequence: a bag-of-textures classifier (no spatial binding) sees the
+unordered pair {F_a, distractor} plus the coarse layout — a ~50% top-1
+ceiling. Beating it requires binding "which texture is inside the minority
+region", i.e. feature composition across scales — the kind of computation
+extra per-stage depth buys.
 
 Output layout mirrors ImageNet: <out_root>/class_<label>/<name>.jpg plus
 'relpath label' list files consumable by tfnas_tpu.data.ImageList.
 
 Usage:
-    python dataset/make_proxy_dataset.py --out_root /data/proxy100 \
-        --num_classes 100 --train_per_class 200 --val_per_class 50
+    python dataset/make_proxy_dataset.py --out_root /root/data/proxy100 \
+        --num_classes 100 --train_per_class 140 --val_per_class 30
 """
 
 import argparse
@@ -22,64 +43,153 @@ import os
 
 import numpy as np
 
-
-def class_recipe(label, rng):
-    """Fixed per-class texture signature."""
-    return {
-        "family": label % 4,                       # stripes/checker/blobs/rings
-        "hue1": rng.uniform(0, 1),
-        "hue2": rng.uniform(0, 1),
-        "angle": rng.uniform(0, np.pi),
-        "freq": rng.uniform(3.0, 12.0),
-        "duty": rng.uniform(0.35, 0.65),
-    }
+N_FINE = 10     # fine-texture identities (label // 10)
+N_COARSE = 10   # coarse-structure identities (label % 10)
 
 
-def hsv_to_rgb(h, s, v):
+def _coords(size, rng, jitter=0.05):
+    """Image-plane coordinates with a small per-image rotation jitter."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    a = rng.normal(0.0, jitter)
+    ca, sa = np.cos(a), np.sin(a)
+    return ca * xx + sa * yy, -sa * xx + ca * yy
+
+
+def fine_field(kind, size, rng):
+    """Binary [size,size] float32 field for fine-texture identity `kind`.
+
+    All 10 kinds are distinguishable by SHAPE under horizontal flip and
+    ~3.5x scale jitter (RandomResizedCrop area 0.08-1.0): orientation
+    classes are {0deg, 90deg, one diagonal}, plus checker/ring/blob/grid/
+    zigzag/dot families. Frequency itself is NOT a class cue.
+    """
+    x, y = _coords(size, rng)
+    f = 9.0 * rng.uniform(0.88, 1.15)
+    ph = rng.uniform(0, 2 * np.pi)
+    if kind == 0:    # horizontal stripes
+        return (np.sin(2 * np.pi * f * y + ph) > 0).astype(np.float32)
+    if kind == 1:    # vertical stripes
+        return (np.sin(2 * np.pi * f * x + ph) > 0).astype(np.float32)
+    if kind == 2:    # diagonal stripes (45deg; hflip maps to 135 — one class)
+        return (np.sin(2 * np.pi * f * (x + y) * 0.7071 + ph) > 0).astype(np.float32)
+    if kind == 3:    # axis-aligned checker
+        return (((np.floor(f * x + ph / 6) + np.floor(f * y)) % 2)).astype(np.float32)
+    if kind == 4:    # diagonal checker
+        u, v = (x + y) * 0.7071, (x - y) * 0.7071
+        return (((np.floor(f * u + ph / 6) + np.floor(f * v)) % 2)).astype(np.float32)
+    if kind == 5:    # fine concentric rings, random center
+        cx, cy = rng.uniform(0.25, 0.75, 2)
+        r = np.sqrt((x - cx) ** 2 + (y - cy) ** 2)
+        return (np.sin(2 * np.pi * f * r + ph) > 0).astype(np.float32)
+    if kind == 6:    # smooth blobs
+        field = (np.sin(2 * np.pi * f * x + ph)
+                 + np.sin(2 * np.pi * f * 0.73 * y + 1.7 * ph))
+        return (field > 0.0).astype(np.float32)
+    if kind == 7:    # thin grid lines (not checker: line skeleton, low duty)
+        gx = (f * x + ph / 6) % 1.0 < 0.28
+        gy = (f * y) % 1.0 < 0.28
+        return (gx | gy).astype(np.float32)
+    if kind == 8:    # zigzag / chevron stripes
+        tri = 2.0 * np.abs(((0.5 * f * y) % 1.0) - 0.5)
+        return (np.sin(2 * np.pi * f * x + 2.6 * np.pi * tri + ph) > 0).astype(np.float32)
+    # kind == 9: dot lattice (small discs, low duty — distinct from blobs)
+    dx = ((f * x + ph / 6) % 1.0) - 0.5
+    dy = ((f * y) % 1.0) - 0.5
+    return (np.sqrt(dx * dx + dy * dy) < 0.29).astype(np.float32)
+
+
+def coarse_mask(kind, size, rng):
+    """Binary [size,size] float32 mask for coarse-structure identity `kind`.
+
+    The `1` region is the minority "figure" (~35% area) so figure/ground is
+    unambiguous even for periodic patterns. Low frequency (~2.5 cycles) so
+    any RandomResizedCrop window contains both regions.
+    """
+    x, y = _coords(size, rng)
+    f = 2.5 * rng.uniform(0.85, 1.2)
+    ph = rng.uniform(0, 2 * np.pi)
+    duty = 0.35            # figure fraction
+    thr = np.cos(np.pi * duty)   # sin(t) > thr on `duty` of each period
+    if kind == 0:    # horizontal bands (narrow band = figure)
+        return (np.sin(2 * np.pi * f * y + ph) > thr).astype(np.float32)
+    if kind == 1:    # vertical bands
+        return (np.sin(2 * np.pi * f * x + ph) > thr).astype(np.float32)
+    if kind == 2:    # diagonal bands
+        return (np.sin(2 * np.pi * f * (x + y) * 0.7071 + ph) > thr).astype(np.float32)
+    if kind == 3:    # square islands on a grid (asymmetric checker)
+        sx = ((f * x + ph / 6) % 1.0) < 0.59
+        sy = ((f * y) % 1.0) < 0.59
+        return (sx & sy).astype(np.float32)
+    if kind == 4:    # coarse concentric rings, near-central
+        cx, cy = rng.uniform(0.4, 0.6, 2)
+        r = np.sqrt((x - cx) ** 2 + (y - cy) ** 2)
+        return (np.sin(2 * np.pi * f * r + ph) > thr).astype(np.float32)
+    if kind == 5:    # pinwheel wedges (6 sectors, narrow sector = figure)
+        cx, cy = rng.uniform(0.4, 0.6, 2)
+        th = np.arctan2(y - cy, x - cx)
+        return (np.sin(3.0 * th + ph) > thr).astype(np.float32)
+    if kind == 6:    # coarse blobs
+        field = (np.sin(2 * np.pi * f * x + ph)
+                 + np.sin(2 * np.pi * f * 0.73 * y + 1.7 * ph))
+        return (field > 0.9).astype(np.float32)
+    if kind == 7:    # diamond islands (diagonal lattice of squares)
+        u, v = (x + y) * 0.7071, (x - y) * 0.7071
+        su = ((f * u + ph / 6) % 1.0) < 0.59
+        sv = ((f * v) % 1.0) < 0.59
+        return (su & sv).astype(np.float32)
+    if kind == 8:    # thick grid bands (cross lattice)
+        gx = ((f * x + ph / 6) % 1.0) < 0.19
+        gy = ((f * y) % 1.0) < 0.19
+        return (gx | gy).astype(np.float32)
+    # kind == 9: big discs on a lattice
+    dx = ((f * x + ph / 6) % 1.0) - 0.5
+    dy = ((f * y) % 1.0) - 0.5
+    return (np.sqrt(dx * dx + dy * dy) < 0.335).astype(np.float32)
+
+
+def _hsv_to_rgb(h, s, v):
     i = np.floor(h * 6.0)
-    f = h * 6.0 - i
-    p, q, t = v * (1 - s), v * (1 - s * f), v * (1 - s * (1 - f))
+    fr = h * 6.0 - i
+    p, q, t = v * (1 - s), v * (1 - s * fr), v * (1 - s * (1 - fr))
     i = int(i) % 6
     return [(v, t, p), (q, v, p), (p, v, t),
             (t, p, v), (p, q, v), (v, p, q)][i]
 
 
-def render(recipe, rng, size):
-    """One [size, size, 3] uint8 texture image from the class recipe with
-    per-image randomness."""
-    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
-    ang = recipe["angle"] + rng.normal(0, 0.08)
-    freq = recipe["freq"] * rng.uniform(0.85, 1.18)
-    phase = rng.uniform(0, 2 * np.pi)
-    u = np.cos(ang) * xx + np.sin(ang) * yy
-    v = -np.sin(ang) * xx + np.cos(ang) * yy
+def _color_pair(rng):
+    """One light + one dark random-hue color (keeps the pattern visible
+    regardless of hue); order randomized so light/dark carries no signal."""
+    light = np.asarray(_hsv_to_rgb(rng.uniform(0, 1), rng.uniform(0.3, 0.9),
+                                   rng.uniform(0.65, 0.95)), np.float32)
+    dark = np.asarray(_hsv_to_rgb(rng.uniform(0, 1), rng.uniform(0.3, 0.9),
+                                  rng.uniform(0.15, 0.5)), np.float32)
+    return (light, dark) if rng.uniform() < 0.5 else (dark, light)
 
-    fam = recipe["family"]
-    if fam == 0:      # stripes
-        field = np.sin(2 * np.pi * freq * u + phase)
-        m = (field > np.cos(np.pi * recipe["duty"])).astype(np.float32)
-    elif fam == 1:    # checker
-        m = ((np.floor(freq * u + phase) + np.floor(freq * v)) % 2)
-    elif fam == 2:    # smooth blobs: threshold of two low-freq sinusoids
-        field = (np.sin(2 * np.pi * freq * u + phase)
-                 + np.sin(2 * np.pi * freq * 0.73 * v + 1.7 * phase))
-        m = (field > 2 * (recipe["duty"] - 0.5)).astype(np.float32)
-    else:             # rings
-        cx, cy = rng.uniform(0.3, 0.7, 2)
-        r = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
-        m = (np.sin(2 * np.pi * freq * r + phase) > 0).astype(np.float32)
 
-    c1 = np.asarray(hsv_to_rgb(recipe["hue1"], rng.uniform(0.55, 0.9),
-                               rng.uniform(0.6, 0.95)), np.float32)
-    c2 = np.asarray(hsv_to_rgb(recipe["hue2"], rng.uniform(0.55, 0.9),
-                               rng.uniform(0.25, 0.6)), np.float32)
-    img = m[..., None] * c1 + (1 - m[..., None]) * c2
-    img = img + rng.normal(0, rng.uniform(0.02, 0.08),
+def render_example(label, rng, size):
+    """One [size,size,3] uint8 image of class `label` (= 10*fine + coarse)."""
+    fine_id, coarse_id = label // N_COARSE, label % N_COARSE
+    # per-image distractor texture != the class texture
+    distractor = int(rng.integers(N_FINE - 1))
+    if distractor >= fine_id:
+        distractor += 1
+
+    mask = coarse_mask(coarse_id, size, rng)[..., None]
+    tex_fig = fine_field(fine_id, size, rng)[..., None]
+    tex_gnd = fine_field(distractor, size, rng)[..., None]
+
+    c1f, c2f = _color_pair(rng)
+    c1g, c2g = _color_pair(rng)
+    fig = tex_fig * c1f + (1 - tex_fig) * c2f
+    gnd = tex_gnd * c1g + (1 - tex_gnd) * c2g
+    img = mask * fig + (1 - mask) * gnd
+
+    img = img + rng.normal(0, rng.uniform(0.02, 0.06),
                            img.shape).astype(np.float32)
-    # mild vignette for lighting variation
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     cx, cy = rng.uniform(0.3, 0.7, 2)
     d2 = (xx - cx) ** 2 + (yy - cy) ** 2
-    img = img * (1.0 - rng.uniform(0.0, 0.35) * d2)[..., None]
+    img = img * (1.0 - rng.uniform(0.0, 0.25) * d2)[..., None]
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
@@ -89,8 +199,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out_root", required=True)
     p.add_argument("--num_classes", type=int, default=100)
-    p.add_argument("--train_per_class", type=int, default=200)
-    p.add_argument("--val_per_class", type=int, default=50)
+    p.add_argument("--train_per_class", type=int, default=140)
+    p.add_argument("--val_per_class", type=int, default=30)
     p.add_argument("--min_size", type=int, default=256)
     p.add_argument("--max_size", type=int, default=352)
     p.add_argument("--quality", type=int, default=87)
@@ -98,20 +208,19 @@ def main():
     p.add_argument("--list_dir", default=None,
                    help="where to write the list files (default: out_root)")
     args = p.parse_args()
+    assert args.num_classes <= N_FINE * N_COARSE
 
     os.makedirs(args.out_root, exist_ok=True)
     list_dir = args.list_dir or args.out_root
     train_lines, val_lines = [], []
     for label in range(args.num_classes):
-        crng = np.random.default_rng((args.seed, label))
-        recipe = class_recipe(label, crng)
         cls_dir = f"class_{label:03d}"
         os.makedirs(os.path.join(args.out_root, cls_dir), exist_ok=True)
         n = args.train_per_class + args.val_per_class
         for i in range(n):
             irng = np.random.default_rng((args.seed, label, i))
             size = int(irng.integers(args.min_size, args.max_size + 1))
-            img = render(recipe, irng, size)
+            img = render_example(label, irng, size)
             rel = f"{cls_dir}/img_{i:05d}.jpg"
             path = os.path.join(args.out_root, rel)
             if not os.path.exists(path):
@@ -119,7 +228,7 @@ def main():
             (train_lines if i < args.train_per_class
              else val_lines).append(f"{rel} {label}")
         if (label + 1) % 10 == 0:
-            print(f"{label + 1}/{args.num_classes} classes done")
+            print(f"{label + 1}/{args.num_classes} classes done", flush=True)
 
     tr = os.path.join(list_dir, "proxy_train.txt")
     va = os.path.join(list_dir, "proxy_val.txt")

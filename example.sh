@@ -97,3 +97,34 @@ python -u train_search.py \
 	--lookup_path "./latency_pkl/latency_tpu_hybrid.pkl" \
 	--space hybrid --epochs 90 --batch_size 32 --target_lat 1.0 \
 	--save "./checkpoints" --note "hybrid-lat1.0"
+
+# 7. Self-contained end-to-end loop on the real-JPEG proxy set (no ImageNet
+#    needed; dataset/make_proxy_dataset.py v2 is compositional so the DEPTH
+#    freedom is genuinely exercised — see docs/E2E_PROXY_RUN.md). The
+#    watchdog supervises the search across relay stalls/outages.
+python dataset/make_proxy_dataset.py --out_root /root/data/proxy100 \
+	--num_classes 100 --train_per_class 140 --val_per_class 30
+python tools_run_watchdog.py --save ./checkpoints_e2e --stall_sec 900 -- \
+	python train_search.py --img_root /root/data/proxy100 \
+	--train_list /root/data/proxy100/proxy_train.txt \
+	--val_list /root/data/proxy100/proxy_val.txt \
+	--lookup_path ./latency_pkl/latency_tpu_v5e_bs32.pkl \
+	--epochs 16 --warmup_epochs 4 --batch_size 32 --image_size 224 \
+	--target_lat 0.20 --T_decay 0.85 --save_freq 4 --num_classes 100 \
+	--note proxy2-e2e
+python tools_search_report.py --run_dir "./checkpoints_e2e/search-*-proxy2-e2e" \
+	--lookup_path ./latency_pkl/latency_tpu_v5e_bs32.pkl
+python parsing_model.py \
+	--model_path "./checkpoints_e2e/search-*-proxy2-e2e/searched_model_16.pkl" \
+	--save_path ./model_proxy2.config \
+	--lookup_path ./latency_pkl/latency_tpu_v5e_bs32.pkl --num_classes 100
+python -u train_eval.py --config_path ./model_proxy2.config \
+	--train_root /root/data/proxy100 --val_root /root/data/proxy100 \
+	--train_list /root/data/proxy100/proxy_train.txt \
+	--val_list /root/data/proxy100/proxy_val.txt \
+	--epochs 18 --batch_size 64 --lr 0.05 --num_classes 100 \
+	--save ./checkpoints_e2e --note proxy2-retrain
+python test.py --config_path ./model_proxy2.config \
+	--weights "./checkpoints_e2e/eval-*-proxy2-retrain/model_best.pkl" \
+	--val_root /root/data/proxy100 \
+	--val_list /root/data/proxy100/proxy_val.txt --num_classes 100
