@@ -34,6 +34,14 @@ _ONE3 = np.ones((3,), np.float32)
 def default_list_reader(list_path):
     """'relpath label' lines (dataset/dataset.py:22-29)."""
     img_list = []
+    if not os.path.exists(list_path):
+        raise FileNotFoundError(
+            f"image list '{list_path}' not found. The reference ships its "
+            "ImageNet-100 split lists in-repo; this repo regenerates them "
+            "instead: run `python dataset/make_lists.py --imagenet_root "
+            "<path>` for ImageNet-100, or `python dataset/make_proxy_dataset"
+            ".py --out_root <path>` for the self-contained real-JPEG proxy "
+            "set, or pass --synthetic for a dataless smoke run.")
     with open(list_path, "r") as f:
         for line in f:
             line = line.strip()

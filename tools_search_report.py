@@ -61,8 +61,13 @@ def alpha_stats(ckpt_paths):
         prob = np.exp(la)
         prob = prob / prob.sum(-1, keepdims=True)
         ent = -(prob * np.log(np.maximum(prob, 1e-12))).sum(-1).mean()
+        betas = {}
+        for stage, b in ck["arch_params"]["betas"].items():
+            b = np.asarray(b, np.float64)
+            e = np.exp(b - b.max())
+            betas[stage] = (e / e.sum()).tolist()
         out.append((int(ck["epoch"]), float(ent),
-                    prob.argmax(-1).tolist()))
+                    prob.argmax(-1).tolist(), betas))
     return out
 
 
@@ -91,13 +96,27 @@ def main():
     max_ent = float(np.log(8))
     print(f"\n== (b) alpha entropy (uniform = {max_ent:.3f} nats) ==")
     prev_argmax = None
-    for ep, ent, am in stats:
+    for ep, ent, am, _ in stats:
         flips = (sum(a != b for a, b in zip(am, prev_argmax))
                  if prev_argmax is not None else "-")
         print(f"ckpt epoch {ep:2d}: mean entropy {ent:.4f}  "
               f"argmax flips vs prev: {flips}")
         prev_argmax = am
     print("final argmax ops per block:", stats[-1][2])
+
+    # depth freedom: the sink-connecting betas' softmax per stage
+    # (model_search.py:157-206) — did depth move away from uniform, and
+    # did any stage keep depth > 1?
+    print("\n== (b2) depth betas: softmax per stage (first -> last ckpt) ==")
+    first_b, last_b = stats[0][3], stats[-1][3]
+    for stage in last_b:
+        f = " ".join(f"{v:.2f}" for v in first_b[stage])
+        l = " ".join(f"{v:.2f}" for v in last_b[stage])
+        am = int(np.argmax(last_b[stage])) + 1
+        print(f"{stage}: [{f}] -> [{l}]  parsed depth {am}")
+    parsed_depths = [int(np.argmax(last_b[s])) + 1 for s in last_b]
+    print(f"stages with parsed depth >= 2: "
+          f"{sum(d >= 2 for d in parsed_depths)}/{len(parsed_depths)}")
 
     print("\n== (c) elasticity: parsed-arch LUT latency vs target ==")
     for i, (before, after, target) in enumerate(lats):
@@ -139,8 +158,9 @@ def main():
         with open(args.json_out, "w") as f:
             json.dump({
                 "train": epochs, "lat": lats, "val": vals,
-                "alpha": [(e, ent) for e, ent, _ in stats],
+                "alpha": [(e, ent) for e, ent, _, _ in stats],
                 "final_argmax": stats[-1][2],
+                "betas_first": stats[0][3], "betas_last": stats[-1][3],
                 "flops_M": round(flops, 1),
                 "params_M": round(n_params / 1e6, 2),
                 "nearest_class": nearest,
