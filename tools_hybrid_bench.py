@@ -81,7 +81,7 @@ def astep(s, i):
     s["arch_params"], s["opt_a"], m = s["steps"].arch_step(
         s["params"], s["arch_params"], s["opt_a"], s["masks"], s["x"],
         s["y"], s["lat_vec"], jnp.float32(0.02), jnp.float32(5.0), key)
-    return m["loss"]
+    return m["loss_a"]
 
 
 def main():
