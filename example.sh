@@ -111,7 +111,7 @@ python tools_run_watchdog.py --save ./checkpoints_e2e --stall_sec 900 -- \
 	--lookup_path ./latency_pkl/latency_tpu_v5e_bs32.pkl \
 	--epochs 16 --warmup_epochs 4 --batch_size 32 --image_size 224 \
 	--target_lat 0.20 --T_decay 0.85 --save_freq 4 --num_classes 100 \
-	--note proxy2-e2e
+	--save ./checkpoints_e2e --note proxy2-e2e
 python tools_search_report.py --run_dir "./checkpoints_e2e/search-*-proxy2-e2e" \
 	--lookup_path ./latency_pkl/latency_tpu_v5e_bs32.pkl
 python parsing_model.py \
