@@ -72,6 +72,8 @@ def alpha_stats(ckpt_paths):
 
 
 def main():
+    from tfnas_tpu.utils.platform import honor_cpu_platform_request
+    honor_cpu_platform_request()
     p = argparse.ArgumentParser()
     p.add_argument("--run_dir", required=True)
     p.add_argument("--lookup_path",
