@@ -91,11 +91,20 @@ class ImageList:
 
     def __init__(self, root, list_path, training, image_size=224,
                  list_reader=default_list_reader, loader=pil_loader,
-                 host_shard=None, use_native="auto", output="float32"):
+                 host_shard=None, use_native="auto", output="float32",
+                 rrc_scale=(0.08, 1.0)):
         """output: 'float32' = normalized float batches (classic);
         'uint8' = raw augmented uint8 pixels, normalized ON DEVICE by
         transforms.device_normalizer — 4x less host->device traffic, which
-        is the search-step bottleneck on a tunneled device link."""
+        is the search-step bottleneck on a tunneled device link.
+
+        rrc_scale: RandomResizedCrop area range. (0.08, 1.0) is the
+        reference's ImageNet setting (train_search.py:124-141); the
+        compositional proxy task needs a gentler floor (~0.35) because an
+        8%-area crop can land entirely in the distractor-textured ground
+        region, destroying the (figure-texture, structure) label — measured
+        in tools_proxy_learnability.py. Host-side only: the box is sampled
+        in Python and shipped to the C++ decode either way."""
         self.root = root
         self.img_list = list_reader(list_path)
         if host_shard is not None and host_shard[1] > 1:
@@ -115,6 +124,7 @@ class ImageList:
         if output not in ("float32", "uint8"):
             raise ValueError(f"output must be float32|uint8, got {output}")
         self.output = output
+        self.rrc_scale = tuple(rrc_scale)
 
     def __len__(self):
         return len(self.img_list)
@@ -132,7 +142,7 @@ class ImageList:
         std = _ONE3 if u8 else IMAGENET_STD
         if self.training:
             w, h = native.image_size(data)
-            box = sample_rrc_box(w, h, rng)
+            box = sample_rrc_box(w, h, rng, self.rrc_scale)
             flip = rng.random() < 0.5
             order, factors = sample_jitter(rng)
             x = native.decode_augment_train(
@@ -152,9 +162,11 @@ class ImageList:
                 pass  # non-JPEG / corrupt: fall back to PIL below
         img = self.loader(path)
         if self.training:
-            x = (train_transform_u8(img, rng, self.image_size)
+            x = (train_transform_u8(img, rng, self.image_size,
+                                    self.rrc_scale)
                  if self.output == "uint8"
-                 else train_transform(img, rng, self.image_size))
+                 else train_transform(img, rng, self.image_size,
+                                      self.rrc_scale))
         else:
             x = (val_transform_u8(img, crop=self.image_size)
                  if self.output == "uint8"
@@ -186,7 +198,7 @@ class ImageList:
                 except ValueError:
                     pil_imgs[j] = self.loader(path)
                     w, h = pil_imgs[j].size
-                boxes.append(sample_rrc_box(w, h, rng))
+                boxes.append(sample_rrc_box(w, h, rng, self.rrc_scale))
                 flips.append(rng.random() < 0.5)
                 order, facs = sample_jitter(rng)
                 orders.append(order)

@@ -158,8 +158,8 @@ def normalize(x):
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def train_transform(img, rng, size=224):
-    img = random_resized_crop(img, rng, size)
+def train_transform(img, rng, size=224, scale=(0.08, 1.0)):
+    img = random_resized_crop(img, rng, size, scale)
     x = np.asarray(img, np.float32) / 255.0
     if rng.random() < 0.5:
         x = x[:, ::-1, :]
@@ -180,10 +180,10 @@ def quantize_u8(x):
     return np.clip(np.rint(x * 255.0), 0.0, 255.0).astype(np.uint8)
 
 
-def train_transform_u8(img, rng, size=224):
+def train_transform_u8(img, rng, size=224, scale=(0.08, 1.0)):
     """train_transform minus normalize, quantized to uint8. Consumes the
     SAME rng draw sequence as train_transform (stream-parity)."""
-    img = random_resized_crop(img, rng, size)
+    img = random_resized_crop(img, rng, size, scale)
     x = np.asarray(img, np.float32) / 255.0
     if rng.random() < 0.5:
         x = x[:, ::-1, :]

@@ -39,11 +39,10 @@ def newest(pattern):
     return max(paths, key=os.path.getmtime) if paths else None
 
 
-def latest_ckpt(save_root):
-    """Newest full searched_model_NN.pkl across this save root's run
-    dirs."""
-    ckpts = sorted(glob.glob(os.path.join(
-        save_root, "*", "searched_model_*.pkl")), key=os.path.getmtime)
+def latest_ckpt(save_root, ckpt_glob):
+    """Newest full checkpoint across this save root's run dirs."""
+    ckpts = sorted(glob.glob(os.path.join(save_root, ckpt_glob)),
+                   key=os.path.getmtime)
     return ckpts[-1] if ckpts else None
 
 
@@ -60,13 +59,13 @@ def probe_tpu(timeout=300):
         return False
 
 
-def strip_resume(cmd):
+def strip_resume(cmd, flag):
     out, skip = [], False
     for a in cmd:
         if skip:
             skip = False
             continue
-        if a == "--resume":
+        if a == flag:
             skip = True
             continue
         out.append(a)
@@ -83,6 +82,13 @@ def main():
     ap.add_argument("--wait_for_device", action="store_true",
                     help="probe the device until it answers BEFORE every "
                          "launch (for starting during an outage)")
+    ap.add_argument("--resume_flag", default="--resume",
+                    help="trainer flag that takes the checkpoint on "
+                         "relaunch (train_search: --resume; train_eval: "
+                         "--snapshot)")
+    ap.add_argument("--ckpt_glob", default="*/searched_model_*.pkl",
+                    help="checkpoint pattern under --save to resume from "
+                         "(train_eval: '*/checkpoint.pkl')")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- trainer command")
     args = ap.parse_args()
@@ -96,9 +102,10 @@ def main():
             while not probe_tpu():
                 log("device probe failed; waiting before launch")
         run_cmd = list(cmd)
-        ck = latest_ckpt(args.save)
+        ck = latest_ckpt(args.save, args.ckpt_glob)
         if restarts and ck:
-            run_cmd = strip_resume(run_cmd) + ["--resume", ck]
+            run_cmd = (strip_resume(run_cmd, args.resume_flag)
+                       + [args.resume_flag, ck])
             log(f"resuming from {ck}")
         log("launch: " + " ".join(run_cmd))
         with open(args.out, "ab") as f:

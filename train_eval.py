@@ -70,6 +70,9 @@ parser.add_argument('--no_bf16', dest='bf16', action='store_false')
 parser.add_argument('--synthetic', action='store_true')
 parser.add_argument('--steps_per_epoch', type=int, default=0)
 parser.add_argument('--image_size', type=int, default=224)
+parser.add_argument('--rrc_min_scale', type=float, default=0.08,
+                    help='RandomResizedCrop min area fraction (0.08 = '
+                         'reference; ~0.35 for the compositional proxy set)')
 parser.add_argument('--n_devices', type=int, default=0,
                     help='devices to use (0 = all)')
 
@@ -163,7 +166,8 @@ def main():
     else:
         train_ds = ImageList(args.train_root, args.train_list, training=True,
                              image_size=args.image_size, output="uint8",
-                             host_shard=host_shard())
+                             host_shard=host_shard(),
+                             rrc_scale=(args.rrc_min_scale, 1.0))
         val_ds = ImageList(args.val_root, args.val_list, training=False,
                            image_size=args.image_size, output="uint8",
                            host_shard=host_shard())

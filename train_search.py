@@ -107,6 +107,12 @@ parser.add_argument('--profile_steps', type=int, default=0,
                          'of epoch 0 into <run_dir>/profile')
 parser.add_argument('--steps_per_epoch', type=int, default=0)
 parser.add_argument('--image_size', type=int, default=224)
+parser.add_argument('--rrc_min_scale', type=float, default=0.08,
+                    help='RandomResizedCrop minimum area fraction. 0.08 = '
+                         'reference ImageNet setting; the compositional '
+                         'proxy task needs ~0.35 (a tighter crop can land '
+                         'entirely in the distractor-textured ground '
+                         'region — see tools_proxy_learnability.py).')
 parser.add_argument('--scan_units', type=int, default=1,
                     help='K>1: run the bi-level loop as ONE compiled '
                          'lax.scan over K units (2 bi-sampling weight steps '
@@ -300,7 +306,8 @@ def main():
                         args.image_size, seed=ep),
                     val, val)
         train_ds = ImageList(args.img_root, args.train_list, training=True,
-                             image_size=args.image_size, output="uint8")
+                             image_size=args.image_size, output="uint8",
+                             rrc_scale=(args.rrc_min_scale, 1.0))
         val_ds = ImageList(args.img_root, args.val_list, training=False,
                            image_size=args.image_size, output="uint8")
         tl = DataLoader(train_ds, args.batch_size, shuffle=True,
