@@ -10,15 +10,22 @@
 # Usage: bash tools_e2e_proxy.sh [note-suffix]
 set -u
 
-ROOT=/root/data/proxy100
+# 30-class compositional proxy (3 fine x 10 coarse). The 100-class v2 run
+# sat at exact chance through 4 warmup epochs: tools_proxy_learnability.py
+# showed the task+pipeline learn fine but need ~40k samples for traction at
+# probe scale — beyond what a weight-sharing supernet gets in a short
+# warmup at 100 classes. 30 classes keeps the compositional binding (depth
+# pressure) with ~3x faster traction; warmup is doubled for the same reason.
+ROOT=/root/data/proxy30
+NUM_CLASSES=30
 LUT=./latency_pkl/latency_tpu_v5e_bs32.pkl
-NOTE="proxy2-e2e${1:+-$1}"
+NOTE="proxy30-e2e${1:+-$1}"
 # per-stage save roots: the watchdog resumes from the newest checkpoint
 # under its --save, so sharing a root with older runs would cross-resume
 SAVE=./checkpoints_e2e/$NOTE
 EVSAVE=./checkpoints_e2e/$NOTE-retrain
-EPOCHS=18
-WARMUP=5
+EPOCHS=26
+WARMUP=8
 TARGET=0.2
 RRC=0.35
 
@@ -30,7 +37,7 @@ python tools_run_watchdog.py --save "$SAVE" --stall_sec 1200 \
     --train_list "$ROOT/proxy_train.txt" --val_list "$ROOT/proxy_val.txt" \
     --lookup_path "$LUT" --save "$SAVE" \
     --epochs $EPOCHS --warmup_epochs $WARMUP --batch_size 32 \
-    --image_size 224 --num_classes 100 --seed 2 \
+    --image_size 224 --num_classes $NUM_CLASSES --seed 2 \
     --T 5.0 --T_decay 0.85 --lambda_lat 0.1 --target_lat $TARGET \
     --rrc_min_scale $RRC --save_freq 4 --note "$NOTE"
 
@@ -46,7 +53,7 @@ JAX_PLATFORMS=cpu python tools_search_report.py --run_dir "$RUN_DIR" \
 echo "=== [3/5] parse -> model.config"
 python -u parsing_model.py --model_path "$FINAL" \
   --save_path "$RUN_DIR/model.config" --lookup_path "$LUT" \
-  --num_classes 100
+  --num_classes $NUM_CLASSES
 
 echo "=== [4/5] retrain the parsed arch"
 python tools_run_watchdog.py --save "$EVSAVE" --stall_sec 1200 \
@@ -57,7 +64,7 @@ python tools_run_watchdog.py --save "$EVSAVE" --stall_sec 1200 \
     --train_list "$ROOT/proxy_train.txt" --val_list "$ROOT/proxy_val.txt" \
     --config_path "$RUN_DIR/model.config" --save "$EVSAVE" \
     --epochs 24 --batch_size 64 --lr 0.05 --weight_decay 1e-5 \
-    --label_smooth 0.1 --num_classes 100 --image_size 224 \
+    --label_smooth 0.1 --num_classes $NUM_CLASSES --image_size 224 \
     --dropout_rate 0.2 --drop_connect_rate 0.2 \
     --rrc_min_scale $RRC --workers 4 --note "$NOTE-retrain"
 
@@ -68,6 +75,6 @@ if [ ! -f "$BEST" ]; then echo "no retrain best ckpt; abort"; exit 1; fi
 echo "=== [5/5] test"
 python -u test.py --val_root "$ROOT" --val_list "$ROOT/proxy_val.txt" \
   --config_path "$RUN_DIR/model.config" --weights "$BEST" \
-  --batch_size 64 --num_classes 100 | tee "$EVAL_DIR/test.txt"
+  --batch_size 64 --num_classes $NUM_CLASSES | tee "$EVAL_DIR/test.txt"
 
 echo "=== e2e loop complete: $RUN_DIR -> $EVAL_DIR"
