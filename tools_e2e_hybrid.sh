@@ -1,38 +1,31 @@
 #!/usr/bin/env bash
-# Full search -> report -> parse -> retrain -> test loop on the real-JPEG
-# proxy dataset (the reference's example.sh workflow, executed end-to-end
-# on the attached TPU; reference example.sh:1-134).
+# Hybrid-space e2e smoke on real JPEGs (VERDICT round-2 item 4).
 #
-# Stage gating: each stage only starts if the previous one produced its
-# artifact, so a relay death mid-run leaves a resumable state (the search
-# stage is already watchdog-supervised + --resume-able).
+# Short `--space hybrid` search on the 30-class compositional proxy, then
+# the ViT round trip: boost the ViT candidate's alpha at its valid blocks
+# (tools_seed_vit_alpha.py), parse -> model.config containing a ViTBlock
+# entry, retrain a few epochs through train_eval.py, score with test.py.
+# Mirrors tools_e2e_proxy.sh but sized as a smoke (~40 min TPU).
 #
-# Usage: bash tools_e2e_proxy.sh [note-suffix]
+# Usage: bash tools_e2e_hybrid.sh [note-suffix]
 set -u
 
-# 30-class compositional proxy (3 fine x 10 coarse). The 100-class v2 run
-# sat at exact chance through 4 warmup epochs: tools_proxy_learnability.py
-# showed the task+pipeline learn fine but need ~40k samples for traction at
-# probe scale — beyond what a weight-sharing supernet gets in a short
-# warmup at 100 classes. 30 classes keeps the compositional binding (depth
-# pressure) with ~3x faster traction; warmup is doubled for the same reason.
 ROOT=/root/data/proxy30
 NUM_CLASSES=30
-LUT=./latency_pkl/latency_tpu_v5e_bs32.pkl
-NOTE="proxy30-e2e${1:+-$1}"
-# per-stage save roots: the watchdog resumes from the newest checkpoint
-# under its --save, so sharing a root with older runs would cross-resume
+LUT=./latency_pkl/latency_tpu_v5e_bs32_hybrid.pkl
+NOTE="hybrid-e2e${1:+-$1}"
 SAVE=./checkpoints_e2e/$NOTE
 EVSAVE=./checkpoints_e2e/$NOTE-retrain
-EPOCHS=26
-WARMUP=8
-TARGET=0.2
+EPOCHS=8
+WARMUP=3
+TARGET=0.25
 RRC=0.35
 
-echo "=== [1/5] search: $EPOCHS epochs, target_lat $TARGET, rrc_min $RRC"
+echo "=== [1/6] hybrid search: $EPOCHS epochs, target_lat $TARGET"
 python tools_run_watchdog.py --save "$SAVE" --stall_sec 1200 \
   --wait_for_device -- \
   python -u train_search.py \
+    --space hybrid \
     --img_root "$ROOT" \
     --train_list "$ROOT/proxy_train.txt" --val_list "$ROOT/proxy_val.txt" \
     --lookup_path "$LUT" --save "$SAVE" \
@@ -44,18 +37,25 @@ python tools_run_watchdog.py --save "$SAVE" --stall_sec 1200 \
 RUN_DIR=$(ls -dt "$SAVE"/search-*-"$NOTE" 2>/dev/null | head -1)
 FINAL=$(ls -t "$RUN_DIR"/searched_model_*.pkl 2>/dev/null | head -1)
 if [ -z "${FINAL:-}" ]; then echo "no search checkpoint; abort"; exit 1; fi
-echo "=== search run dir: $RUN_DIR; final ckpt: $FINAL"
+echo "=== hybrid run dir: $RUN_DIR; final ckpt: $FINAL"
 
-echo "=== [2/5] convergence report"
+echo "=== [2/6] seed the ViT candidate so parsing elects it"
+VIT_CKPT="${FINAL%.pkl}_vit.pkl"
+python tools_seed_vit_alpha.py --ckpt "$FINAL" --out "$VIT_CKPT" --boost 3.0
+
+echo "=== [3/6] convergence report"
 JAX_PLATFORMS=cpu python tools_search_report.py --run_dir "$RUN_DIR" \
-  --lookup_path "$LUT" | tee "$RUN_DIR/report.txt"
+  --lookup_path "$LUT" --space hybrid | tee "$RUN_DIR/report.txt" || true
 
-echo "=== [3/5] parse -> model.config"
-python -u parsing_model.py --model_path "$FINAL" \
+echo "=== [4/6] parse -> model.config (must contain a ViTBlock entry)"
+python -u parsing_model.py --space hybrid --model_path "$VIT_CKPT" \
   --save_path "$RUN_DIR/model.config" --lookup_path "$LUT" \
   --num_classes $NUM_CLASSES
+grep -q ViTBlock "$RUN_DIR/model.config" \
+  && echo "model.config contains a ViTBlock" \
+  || { echo "no ViTBlock in parsed config; abort"; exit 1; }
 
-echo "=== [4/5] retrain the parsed arch"
+echo "=== [5/6] retrain the parsed hybrid arch"
 python tools_run_watchdog.py --save "$EVSAVE" --stall_sec 1200 \
   --wait_for_device --resume_flag=--snapshot \
   --ckpt_glob '*/checkpoint.pkl' -- \
@@ -63,7 +63,7 @@ python tools_run_watchdog.py --save "$EVSAVE" --stall_sec 1200 \
     --train_root "$ROOT" --val_root "$ROOT" \
     --train_list "$ROOT/proxy_train.txt" --val_list "$ROOT/proxy_val.txt" \
     --config_path "$RUN_DIR/model.config" --save "$EVSAVE" \
-    --epochs 24 --batch_size 64 --lr 0.05 --weight_decay 1e-5 \
+    --epochs 6 --batch_size 64 --lr 0.05 --weight_decay 1e-5 \
     --label_smooth 0.1 --num_classes $NUM_CLASSES --image_size 224 \
     --dropout_rate 0.2 --drop_connect_rate 0.2 \
     --rrc_min_scale $RRC --workers 4 --note "$NOTE-retrain"
@@ -72,9 +72,9 @@ EVAL_DIR=$(ls -dt "$EVSAVE"/eval-*-"$NOTE-retrain" 2>/dev/null | head -1)
 BEST="$EVAL_DIR/model_best.pkl"
 if [ ! -f "$BEST" ]; then echo "no retrain best ckpt; abort"; exit 1; fi
 
-echo "=== [5/5] test"
+echo "=== [6/6] test"
 python -u test.py --val_root "$ROOT" --val_list "$ROOT/proxy_val.txt" \
   --config_path "$RUN_DIR/model.config" --weights "$BEST" \
   --batch_size 64 --num_classes $NUM_CLASSES | tee "$EVAL_DIR/test.txt"
 
-echo "=== e2e loop complete: $RUN_DIR -> $EVAL_DIR"
+echo "=== hybrid e2e smoke complete: $RUN_DIR -> $EVAL_DIR"

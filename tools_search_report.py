@@ -79,6 +79,10 @@ def main():
     p.add_argument("--lookup_path",
                    default="latency_pkl/latency_tpu_v5e_bs32.pkl")
     p.add_argument("--json_out", default="")
+    p.add_argument("--space", default="mbconv", choices=["mbconv", "hybrid"],
+                   help="space the run searched; hybrid only changes the "
+                        "uniform-entropy reference (9 ops incl. ViT) — "
+                        "parsing is op-index driven and shared")
     args = p.parse_args()
     run_dir = glob.glob(args.run_dir)[0] if "*" in args.run_dir \
         else args.run_dir
@@ -95,7 +99,7 @@ def main():
     ckpts = sorted(glob.glob(os.path.join(run_dir, "arch_params_*.pkl"))) \
         or sorted(glob.glob(os.path.join(run_dir, "searched_model_*.pkl")))
     stats = alpha_stats(ckpts)
-    max_ent = float(np.log(8))
+    max_ent = float(np.log(9 if args.space == "hybrid" else 8))
     print(f"\n== (b) alpha entropy (uniform = {max_ent:.3f} nats) ==")
     prev_argmax = None
     for ep, ent, am, _ in stats:
