@@ -24,10 +24,14 @@ NOTE="proxy30-e2e${1:+-$1}"
 # under its --save, so sharing a root with older runs would cross-resume
 SAVE=./checkpoints_e2e/$NOTE
 EVSAVE=./checkpoints_e2e/$NOTE-retrain
-EPOCHS=26
-WARMUP=8
-TARGET=0.2
-RRC=0.35
+# env-overridable knobs (e.g. the depth-pressure run uses TARGET=0.28
+# LAMBDA=0.5 so the symmetric |lat/target-1| loss binds from below and
+# pulls beta toward deeper stages instead of letting CE collapse it)
+EPOCHS=${EPOCHS:-26}
+WARMUP=${WARMUP:-8}
+TARGET=${TARGET:-0.2}
+LAMBDA=${LAMBDA:-0.1}
+RRC=${RRC:-0.35}
 
 echo "=== [1/5] search: $EPOCHS epochs, target_lat $TARGET, rrc_min $RRC"
 python tools_run_watchdog.py --save "$SAVE" --stall_sec 1200 \
@@ -38,7 +42,7 @@ python tools_run_watchdog.py --save "$SAVE" --stall_sec 1200 \
     --lookup_path "$LUT" --save "$SAVE" \
     --epochs $EPOCHS --warmup_epochs $WARMUP --batch_size 32 \
     --image_size 224 --num_classes $NUM_CLASSES --seed 2 \
-    --T 5.0 --T_decay 0.85 --lambda_lat 0.1 --target_lat $TARGET \
+    --T 5.0 --T_decay 0.85 --lambda_lat $LAMBDA --target_lat $TARGET \
     --rrc_min_scale $RRC --save_freq 4 --note "$NOTE"
 
 RUN_DIR=$(ls -dt "$SAVE"/search-*-"$NOTE" 2>/dev/null | head -1)
