@@ -32,6 +32,7 @@ WARMUP=${WARMUP:-8}
 TARGET=${TARGET:-0.2}
 LAMBDA=${LAMBDA:-0.1}
 RRC=${RRC:-0.35}
+SCAN=${SCAN:-1}   # --scan_units: K>1 runs the one-jitted-scan macro-iteration
 
 echo "=== [1/5] search: $EPOCHS epochs, target_lat $TARGET, rrc_min $RRC"
 python tools_run_watchdog.py --save "$SAVE" --stall_sec 1200 \
@@ -43,7 +44,7 @@ python tools_run_watchdog.py --save "$SAVE" --stall_sec 1200 \
     --epochs $EPOCHS --warmup_epochs $WARMUP --batch_size 32 \
     --image_size 224 --num_classes $NUM_CLASSES --seed 2 \
     --T 5.0 --T_decay 0.85 --lambda_lat $LAMBDA --target_lat $TARGET \
-    --rrc_min_scale $RRC --save_freq 4 --note "$NOTE"
+    --rrc_min_scale $RRC --save_freq 4 --scan_units $SCAN --note "$NOTE"
 
 RUN_DIR=$(ls -dt "$SAVE"/search-*-"$NOTE" 2>/dev/null | head -1)
 FINAL=$(ls -t "$RUN_DIR"/searched_model_*.pkl 2>/dev/null | head -1)
