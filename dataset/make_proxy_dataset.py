@@ -147,6 +147,151 @@ def coarse_mask(kind, size, rng):
     return (np.sqrt(dx * dx + dy * dy) < 0.335).astype(np.float32)
 
 
+# --------------------------------------------------------------------------
+# v3: capacity-graded difficulty (round-4 redesign).
+#
+# v2's flaw (round-3 evidence, docs/E2E_PROXY30.md): the 30-class subset's
+# three fine textures (h/v/diagonal stripes) are so distinct that every
+# searched net from 189M to 366M FLOPs retrains to ~100% — the accuracy
+# axis carries no capacity signal, so the family table cannot reproduce the
+# reference zoo's top-1-vs-latency trade-off (/root/reference/README.md:20-25).
+#
+# v3 keeps the v2 compositional core (label = texture INSIDE the minority
+# figure region; color carries zero information) and adds three levers that
+# make accuracy degrade SMOOTHLY with model capacity instead of cliffing:
+#
+#   1. Graded fine-texture confusability: 12 fine kinds = 6 shape families
+#      x 2 DUTY-CYCLE variants (on-fraction 0.25 vs 0.45, +-0.03 jitter).
+#      Shape family is easy (any net); the within-family duty bin is a
+#      precision discrimination (width/feature-count bound). Duty is
+#      invariant to hflip and to RandomResizedCrop scale jitter, and the
+#      light/dark color swap maps duty d to 1-d, so the pair {0.25, 0.45}
+#      stays separated ({0.75, 0.55} complements collide with nothing).
+#   2. Majority-texture binding: the ground distractor is the figure
+#      texture's CONFUSABLE PARTNER with prob 0.5 (maximally adversarial
+#      for bag-of-textures), and with prob 0.5 an inner mid-scale region
+#      (~30% of the figure) is filled with a third texture — the label is
+#      the figure's MAJORITY texture, so nets must area-weight what they
+#      bind (3-scale composition: fine texture / inner region / coarse
+#      figure).
+#   3. Nuisance continuum: per-image noise sigma in [0.02, 0.12], optional
+#      blur in [0, 1.1] px, JPEG quality in [70, 92] — each image lands at
+#      a different SNR, so a net's accuracy is the fraction of the
+#      continuum above its precision floor, not a step function.
+#
+# 60 classes = 12 fine x 5 coarse (label = 5*fine + coarse).
+
+N_FINE_V3 = 12
+N_COARSE_V3 = 5
+# confusable partner: the other duty variant of the same shape family
+V3_PARTNER = {k: k + 1 if k % 2 == 0 else k - 1 for k in range(N_FINE_V3)}
+
+
+def _duty_thr(duty):
+    """Threshold t such that sin(x) > t on `duty` of each period."""
+    return np.cos(np.pi * duty)
+
+
+def fine_field_v3(kind, size, rng):
+    """Binary field for v3 fine kind: family = kind//2, duty variant =
+    kind%2 (on-fraction 0.25 / 0.45, +-0.03 per-image jitter)."""
+    x, y = _coords(size, rng)
+    f = 9.0 * rng.uniform(0.88, 1.15)
+    ph = rng.uniform(0, 2 * np.pi)
+    duty = (0.25, 0.45)[kind % 2] + rng.uniform(-0.03, 0.03)
+    fam = kind // 2
+    if fam == 0:    # horizontal stripes
+        return (np.sin(2 * np.pi * f * y + ph) > _duty_thr(duty)).astype(np.float32)
+    if fam == 1:    # vertical stripes
+        return (np.sin(2 * np.pi * f * x + ph) > _duty_thr(duty)).astype(np.float32)
+    if fam == 2:    # diagonal stripes (45deg; hflip maps to 135 — one class)
+        return (np.sin(2 * np.pi * f * (x + y) * 0.7071 + ph)
+                > _duty_thr(duty)).astype(np.float32)
+    if fam == 3:    # square islands (duty = on-fraction => side sqrt(duty))
+        side = np.sqrt(duty)
+        sx = ((f * x + ph / 6) % 1.0) < side
+        sy = ((f * y) % 1.0) < side
+        return (sx & sy).astype(np.float32)
+    if fam == 4:    # dot lattice (duty = on-fraction => radius sqrt(duty/pi))
+        r = np.sqrt(duty / np.pi)
+        dx = ((f * x + ph / 6) % 1.0) - 0.5
+        dy = ((f * y) % 1.0) - 0.5
+        return (np.sqrt(dx * dx + dy * dy) < r).astype(np.float32)
+    # fam == 5: concentric rings, random center
+    cx, cy = rng.uniform(0.25, 0.75, 2)
+    rr = np.sqrt((x - cx) ** 2 + (y - cy) ** 2)
+    return (np.sin(2 * np.pi * f * rr + ph) > _duty_thr(duty)).astype(np.float32)
+
+
+V3_COARSE_KINDS = (0, 2, 3, 4, 6)  # v2 ids: h-bands, diag-bands, islands,
+#                                     rings, blobs — the 5 most distinct
+
+
+def _blur(img, sigma, rng):
+    """Cheap separable Gaussian blur (numpy-only; no scipy on this box)."""
+    if sigma < 0.3:
+        return img
+    k = max(1, int(3 * sigma))
+    ker = np.exp(-0.5 * (np.arange(-k, k + 1) / sigma) ** 2)
+    ker = (ker / ker.sum()).astype(np.float32)
+    pad = np.pad(img, ((k, k), (k, k), (0, 0)), mode="reflect")
+    # separable convolve along H then W (kept vectorized over the other axes)
+    out = np.einsum("t,thwc->hwc", ker,
+                    np.stack([pad[i:i + img.shape[0], k:-k]
+                              for i in range(2 * k + 1)]))
+    pad2 = np.pad(out, ((0, 0), (k, k), (0, 0)), mode="reflect")
+    out = np.einsum("t,htwc->hwc", ker,
+                    np.stack([pad2[:, i:i + img.shape[1]]
+                              for i in range(2 * k + 1)], axis=1))
+    return out.astype(np.float32)
+
+
+def render_example_v3(label, rng, size):
+    """One [size,size,3] uint8 image of v3 class `label` (= 5*fine + coarse)."""
+    fine_id, coarse_id = label // N_COARSE_V3, label % N_COARSE_V3
+
+    # ground distractor: confusable partner with prob 0.5, else random other
+    if rng.uniform() < 0.5:
+        distractor = V3_PARTNER[fine_id]
+    else:
+        distractor = int(rng.integers(N_FINE_V3 - 1))
+        if distractor >= fine_id:
+            distractor += 1
+
+    mask = coarse_mask(V3_COARSE_KINDS[coarse_id], size, rng)[..., None]
+    tex_fig = fine_field_v3(fine_id, size, rng)[..., None]
+    tex_gnd = fine_field_v3(distractor, size, rng)[..., None]
+
+    c1f, c2f = _color_pair(rng)
+    c1g, c2g = _color_pair(rng)
+    fig = tex_fig * c1f + (1 - tex_fig) * c2f
+    gnd = tex_gnd * c1g + (1 - tex_gnd) * c2g
+
+    # inner mid-scale sub-region stratum: ~30% of the figure gets a THIRD
+    # texture; the label stays the figure's MAJORITY texture
+    if rng.uniform() < 0.5:
+        inner_id = int(rng.integers(N_FINE_V3 - 1))
+        if inner_id >= fine_id:
+            inner_id += 1
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+        cx, cy = rng.uniform(0.2, 0.8, 2)
+        rad = rng.uniform(0.22, 0.30)
+        inner = ((xx - cx) ** 2 + (yy - cy) ** 2 < rad * rad)[..., None]
+        tex_in = fine_field_v3(inner_id, size, rng)[..., None]
+        c1i, c2i = _color_pair(rng)
+        fig = np.where(inner, tex_in * c1i + (1 - tex_in) * c2i, fig)
+
+    img = mask * fig + (1 - mask) * gnd
+    img = _blur(img, rng.uniform(0.0, 1.1), rng)
+    img = img + rng.normal(0, rng.uniform(0.02, 0.12),
+                           img.shape).astype(np.float32)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    cx, cy = rng.uniform(0.3, 0.7, 2)
+    d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+    img = img * (1.0 - rng.uniform(0.0, 0.25) * d2)[..., None]
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
 def _hsv_to_rgb(h, s, v):
     i = np.floor(h * 6.0)
     fr = h * 6.0 - i
@@ -207,8 +352,15 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--list_dir", default=None,
                    help="where to write the list files (default: out_root)")
+    p.add_argument("--version", type=int, default=2, choices=(2, 3),
+                   help="2: round-3 compositional task (saturates for "
+                        ">=189M-FLOP nets); 3: capacity-graded task "
+                        "(60 classes = 12 fine x 5 coarse)")
     args = p.parse_args()
-    assert args.num_classes <= N_FINE * N_COARSE
+    if args.version == 3:
+        assert args.num_classes <= N_FINE_V3 * N_COARSE_V3
+    else:
+        assert args.num_classes <= N_FINE * N_COARSE
 
     os.makedirs(args.out_root, exist_ok=True)
     list_dir = args.list_dir or args.out_root
@@ -218,9 +370,10 @@ def main():
         os.makedirs(os.path.join(args.out_root, cls_dir), exist_ok=True)
         n = args.train_per_class + args.val_per_class
         for i in range(n):
-            irng = np.random.default_rng((args.seed, label, i))
+            irng = np.random.default_rng((args.seed, label, i, args.version))
             size = int(irng.integers(args.min_size, args.max_size + 1))
-            img = render_example(label, irng, size)
+            render = render_example_v3 if args.version == 3 else render_example
+            img = render(label, irng, size)
             rel = f"{cls_dir}/img_{i:05d}.jpg"
             path = os.path.join(args.out_root, rel)
             if not os.path.exists(path):

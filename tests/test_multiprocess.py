@@ -71,9 +71,15 @@ def test_put_global_batch_two_processes():
     assert "MP_CHILD_OK proc=1/2" in out1
 
 
+@pytest.mark.slow  # two full driver subprocesses thrash the 1-core box
 def test_train_eval_two_processes(tmp_path):
     """train_eval.py --synthetic under a real 2-process launch: global batch
-    8 = 2 hosts x 4 local; rank-0-only checkpointing."""
+    8 = 2 hosts x 4 local; rank-0-only checkpointing.
+
+    Slow-marked: the pair of JAX subprocesses alone has a 600 s ceiling on
+    this single-core host and pushed the fast suite from ~12 to ~19 min.
+    The cheap _mp_child smoke above keeps multi-process coverage in the
+    fast suite; this full-driver variant runs with `-m slow`."""
     cfg = str(tmp_path / "model.config")
     save = str(tmp_path / "eval")
     # tiny deployable config via the tiny fixture space (no search needed)

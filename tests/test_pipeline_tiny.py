@@ -16,13 +16,17 @@ import pytest
 
 
 def run_with_argv(module_name, argv):
-    import importlib
+    # Load by explicit path: 'test' would otherwise resolve to the stdlib
+    # test package if anything in the pytest process imported it first.
+    import importlib.util
     old = sys.argv
-    sys.path.insert(0, "/root/repo")
+    path = f"/root/repo/{module_name}.py"
     try:
         sys.argv = argv
-        mod = importlib.import_module(module_name)
-        importlib.reload(mod)
+        spec = importlib.util.spec_from_file_location(
+            f"tfnas_driver_{module_name}", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
         mod.main()
     finally:
         sys.argv = old

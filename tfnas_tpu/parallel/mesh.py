@@ -71,6 +71,11 @@ def maybe_distributed_init():
         # explicit local/manual launch (incl. the 2-process CPU-backend
         # smoke in tests/test_multiprocess.py): pass the trio explicitly —
         # env-var autodetection plugins vary across jax versions
+        if "JAX_PROCESS_ID" not in os.environ:
+            raise RuntimeError(
+                "JAX_COORDINATOR_ADDRESS and JAX_NUM_PROCESSES are set but "
+                "JAX_PROCESS_ID is missing — an explicit multi-process "
+                "launch must set all three (0..NUM_PROCESSES-1 per process)")
         jax.distributed.initialize(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),

@@ -26,10 +26,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
-def find_pairs(root):
-    """Yield (name, search_dir, eval_dir) for completed search+retrain pairs."""
-    for retrain in sorted(glob.glob(os.path.join(root, "*-retrain"))):
-        name = os.path.basename(retrain)[: -len("-retrain")]
+def find_pairs(root, rescore_tag=None):
+    """Yield (name, search_dir, eval_dir) for completed search+retrain pairs.
+
+    With rescore_tag (e.g. 'v3'), pairs `<name>-rescore-<tag>` eval dirs
+    with `<name>`'s search dir instead — the tools_rescore_family.sh layout
+    where one searched arch is re-scored on a different dataset."""
+    suffix = f"-rescore-{rescore_tag}" if rescore_tag else "-retrain"
+    for retrain in sorted(glob.glob(os.path.join(root, "*" + suffix))):
+        name = os.path.basename(retrain)[: -len(suffix)]
         search_runs = sorted(glob.glob(os.path.join(root, name, "search-*")))
         eval_runs = sorted(glob.glob(os.path.join(retrain, "eval-*")))
         search_runs = [d for d in search_runs
@@ -85,10 +90,11 @@ def arch_stats(config_path, lookup_path, num_classes=30):
     lat = None
     if lookup_path and os.path.exists(lookup_path):
         lat = net.get_lookup_latency(load_lat_lookup(lookup_path))
+    stage_idx = sorted(int(k[len("stage"):]) for k in depths)
     return {
         "flops_M": round(calculate_FLOPs_in_M(net), 1),
         "params_MB": round(count_parameters_in_MB(params), 2),
-        "depths": [depths[f"stage{i}"] for i in range(1, 7)],
+        "depths": [depths[f"stage{i}"] for i in stage_idx],
         "has_vit": has_vit,
         "lut_lat_ms": round(lat, 4) if lat is not None else None,
     }
@@ -150,13 +156,18 @@ def main():
     ap.add_argument("--band", metavar="LUT_PKL", default=None,
                     help="also print the space's single-path min/max "
                          "(latency, FLOPs) bounds on the given LUT")
+    ap.add_argument("--rescore_tag", default=None,
+                    help="pair `<name>-rescore-<tag>` eval dirs with "
+                         "<name>'s search dir (tools_rescore_family.sh "
+                         "re-scoring on a different proxy)")
     args = ap.parse_args()
 
     if args.band:
         print(json.dumps({"band": band_bounds(args.band, args.num_classes)}))
 
     rows = []
-    for name, search_dir, eval_dir in find_pairs(args.root):
+    for name, search_dir, eval_dir in find_pairs(args.root,
+                                                 args.rescore_tag):
         sa = search_args(search_dir)
         st = arch_stats(os.path.join(search_dir, "model.config"),
                         sa["lookup_path"], args.num_classes)
@@ -176,10 +187,13 @@ def main():
     for r in rows:
         depths = "/".join(str(d) for d in r["depths"])
         space = r["space"] + (" (ViT)" if r["has_vit"] else "")
-        lat = f"{r['lut_lat_ms']:.3f}" if r["lut_lat_ms"] else "—"
+        lat = ("—" if r["lut_lat_ms"] is None
+               else f"{r['lut_lat_ms']:.3f}")
+        top1 = "—" if r["top1"] is None else f"{r['top1']:.2f}"
+        top5 = "—" if r["top5"] is None else f"{r['top5']:.2f}"
         print(f"| {r['name']} | {space} | {r['target_lat']:.2f} | {lat} | "
               f"{r['flops_M']:.1f}M | {r['params_MB']:.2f}MB | {depths} | "
-              f"{r['top1']:.2f} | {r['top5']:.2f} |")
+              f"{top1} | {top5} |")
 
 
 if __name__ == "__main__":

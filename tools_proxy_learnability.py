@@ -48,21 +48,24 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
-from dataset.make_proxy_dataset import render_example  # noqa: E402
+from dataset.make_proxy_dataset import (render_example,  # noqa: E402
+                                        render_example_v3)
 
 
-def gen_split(n_per_class, num_classes, gen_size, seed, tag):
-    """[N,H,W,3] uint8 + labels, deterministic per (seed, tag)."""
+def gen_split(n_per_class, num_classes, gen_size, seed, tag, version=2):
+    """[N,H,W,3] uint8 + labels, deterministic per (seed, tag, version)."""
+    render = render_example_v3 if version == 3 else render_example
     imgs = np.empty((num_classes * n_per_class, gen_size, gen_size, 3),
                     np.uint8)
     labels = np.empty((num_classes * n_per_class,), np.int32)
     k = 0
     for label in range(num_classes):
         for i in range(n_per_class):
-            rng = np.random.default_rng((seed, label, i, hash(tag) % 2**31))
+            rng = np.random.default_rng((seed, label, i, hash(tag) % 2**31,
+                                         version))
             # render at fixed gen_size (no per-image size jitter: the crop
             # regime below is the variable under test)
-            imgs[k] = render_example(label, rng, gen_size)
+            imgs[k] = render(label, rng, gen_size)
             labels[k] = label
             k += 1
     return imgs, labels
@@ -123,7 +126,8 @@ def run_from_disk(args, jax, jnp, optax):
     vl = DataLoader(val_ds, args.batch_size, shuffle=False, num_workers=1,
                     drop_last=False, pad_last=True)
 
-    init_params, forward = build_tiny_cnn(jax, jnp)
+    depth_chs = tuple(int(c) for c in args.depth_chs.split(","))
+    init_params, forward = build_tiny_cnn(jax, jnp, depth_chs)
     params = init_params(jax.random.PRNGKey(args.seed + 1), args.num_classes)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
@@ -210,6 +214,14 @@ def main():
                    help="'cpu' to force the CPU backend (the axon plugin "
                         "overrides JAX_PLATFORMS, so this must go through "
                         "jax.config — see CLAUDE.md)")
+    p.add_argument("--version", type=int, default=2, choices=(2, 3),
+                   help="proxy generator version (3 = capacity-graded)")
+    p.add_argument("--depth_chs", default="32,64,128,256",
+                   help="comma-separated conv channels of the probe CNN — "
+                        "the CAPACITY axis: e.g. '48' (stem-only, 1 conv) "
+                        "vs '32,64,128,256' (deep). VERDICT r3 gate: a "
+                        "stem-only probe must score well below a deep one "
+                        "on the v3 task")
     args = p.parse_args()
 
     import jax
@@ -224,9 +236,9 @@ def main():
 
     t0 = time.time()
     tr_x, tr_y = gen_split(args.train_per_class, args.num_classes,
-                           args.gen_size, args.seed, "train")
+                           args.gen_size, args.seed, "train", args.version)
     va_x, va_y = gen_split(args.val_per_class, args.num_classes,
-                           args.gen_size, args.seed, "val")
+                           args.gen_size, args.seed, "val", args.version)
     print(f"generated {len(tr_x)} train / {len(va_x)} val "
           f"@{args.gen_size}px in {time.time()-t0:.0f}s", flush=True)
 
@@ -236,7 +248,8 @@ def main():
     va_xd = jax.device_put(va_x)
 
     C = args.crop
-    init_params, forward = build_tiny_cnn(jax, jnp)
+    depth_chs = tuple(int(c) for c in args.depth_chs.split(","))
+    init_params, forward = build_tiny_cnn(jax, jnp, depth_chs)
 
     def crop_batch(xd, idx, key, aug):
         """Gather a batch from the on-device dataset and crop to C x C."""
@@ -268,14 +281,16 @@ def main():
         flip = jax.random.bernoulli(k1, 0.5, (imgs.shape[0], 1, 1, 1))
         return jnp.where(flip, out[:, :, ::-1], out)
 
+    n_coarse = 5 if args.version == 3 else 10
+    n_fine = 12 if args.version == 3 else 10
     results = {}
     for task in args.tasks.split(","):
         if task == "coarse":
-            proj = lambda y: y % 10
-            n_out = 10
+            proj = lambda y: y % n_coarse
+            n_out = n_coarse
         elif task == "fine":
-            proj = lambda y: y // 10
-            n_out = 10
+            proj = lambda y: y // n_coarse
+            n_out = n_fine
         else:
             proj = lambda y: y
             n_out = args.num_classes
