@@ -263,6 +263,43 @@ def test_search_steps_run_and_project(small_search_setup):
     assert np.all(k2[0][0, :, 0, :] == 0.0)
 
 
+def test_lat_under_boost_parity_and_effect(small_search_setup):
+    """lat_under_boost=1.0 is bit-parity with the reference |dev| form;
+    boost>1 scales the UNDER-target latency loss by exactly the boost."""
+    net, params, arch_params, mc_mask, masks, update_masks = small_search_setup
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    y = jnp.asarray([1, 2], jnp.int32)
+    # non-uniform per-op latencies: a uniform lat_vec makes the latency
+    # gradient per-coordinate proportional across boosts, and Adam's first
+    # step is gradient-scale invariant (update ~ sign(g) * lr)
+    lat_vec = (jnp.arange(net.ss.TOTAL_BLOCKS * 8, dtype=jnp.float32)
+               .reshape(net.ss.TOTAL_BLOCKS, 8) * 0.1)
+    args = (params, arch_params, adam_init(arch_params), masks, x, y,
+            lat_vec, jnp.float32(2.0), jnp.float32(5.0),
+            jax.random.PRNGKey(4))
+
+    def run(**kw):
+        steps = make_search_steps(net, num_classes=10, target_lat=15.0, **kw)
+        # copy donated args so each run sees identical inputs
+        a = jax.tree_util.tree_map(jnp.copy, args)
+        return steps.arch_step(*a)
+
+    a_ref, _, m_ref = run()
+    a_one, _, m_one = run(lat_under_boost=1.0)
+    np.testing.assert_array_equal(np.asarray(a_ref["log_alphas"]),
+                                  np.asarray(a_one["log_alphas"]))
+
+    # boost large enough that the latency term flips some total-gradient
+    # signs against CE (Adam's first step only sees signs, see above)
+    a_b, _, m_b = run(lat_under_boost=50.0)
+    assert float(m_ref["lat"]) < 15.0  # this setup sits under target
+    np.testing.assert_allclose(float(m_b["loss_l"]),
+                               50.0 * float(m_ref["loss_l"]), rtol=1e-6)
+    # the boosted pull moves alphas differently (toward expensive ops)
+    assert not np.array_equal(np.asarray(a_b["log_alphas"]),
+                              np.asarray(a_ref["log_alphas"]))
+
+
 class _ToySearchNet:
     """Minimal stand-in exposing the SuperNetwork apply_* interface.
 

@@ -101,7 +101,7 @@ class SearchStepFns(NamedTuple):
 def make_search_steps(net, *, num_classes, w_mom=0.9, w_wd=1e-5,
                       a_lr=0.01, a_beta1=0.5, a_beta2=0.999, a_wd=5e-4,
                       grad_clip=5.0, lambda_lat=0.1, target_lat=15.0,
-                      jit=True, valid_mask=None):
+                      lat_under_boost=1.0, jit=True, valid_mask=None):
     """Build the (by default jitted) step functions for SuperNetwork `net`.
 
     jit=False returns the raw step bodies for composition into larger
@@ -168,7 +168,15 @@ def make_search_steps(net, *, num_classes, w_mom=0.9, w_wd=1e-5,
                                          training=True)
             lat = lat + base_lat
             loss_a = cross_entropy(logits, y)
-            loss_l = jnp.abs(lat / target_lat - 1.0) * lambda_lat
+            # reference loss form: |lat/target - 1| * lambda
+            # (train_search.py:410-412). lat_under_boost > 1 asymmetrically
+            # amplifies the UNDER-target side — round-3 evidence showed the
+            # symmetric form's soft equilibrium saturates ~25% below high
+            # targets (docs/E2E_PROXY30.md run 4); the boost is the
+            # mechanism probe for that ceiling. 1.0 = exact parity.
+            dev = lat / target_lat - 1.0
+            loss_l = jnp.where(dev < 0.0, -dev * lat_under_boost,
+                               dev) * lambda_lat
             return loss_a + loss_l, (loss_a, loss_l, lat)
 
         (_, (loss_a, loss_l, lat)), grads = jax.value_and_grad(

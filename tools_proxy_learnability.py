@@ -219,9 +219,10 @@ def main():
     p.add_argument("--depth_chs", default="32,64,128,256",
                    help="comma-separated conv channels of the probe CNN — "
                         "the CAPACITY axis: e.g. '48' (stem-only, 1 conv) "
-                        "vs '32,64,128,256' (deep). VERDICT r3 gate: a "
-                        "stem-only probe must score well below a deep one "
-                        "on the v3 task")
+                        "vs '32,64,128,256' (deep). '|'-separated settings "
+                        "run back-to-back on the same generated data. "
+                        "VERDICT r3 gate: a stem-only probe must score "
+                        "well below a deep one on the v3 task")
     args = p.parse_args()
 
     import jax
@@ -248,8 +249,6 @@ def main():
     va_xd = jax.device_put(va_x)
 
     C = args.crop
-    depth_chs = tuple(int(c) for c in args.depth_chs.split(","))
-    init_params, forward = build_tiny_cnn(jax, jnp, depth_chs)
 
     def crop_batch(xd, idx, key, aug):
         """Gather a batch from the on-device dataset and crop to C x C."""
@@ -284,6 +283,24 @@ def main():
     n_coarse = 5 if args.version == 3 else 10
     n_fine = 12 if args.version == 3 else 10
     results = {}
+    chs_settings = [tuple(int(c) for c in s.split(","))
+                    for s in args.depth_chs.split("|")]
+    for depth_chs in chs_settings:
+        init_params, forward = build_tiny_cnn(jax, jnp, depth_chs)
+        _probe_tasks(args, jax, jnp, optax, results, depth_chs,
+                     init_params, forward, crop_batch,
+                     tr_x, tr_y, va_x, va_y, tr_xd, va_xd,
+                     n_coarse, n_fine, C, len(chs_settings) > 1)
+
+    print(json.dumps(results, indent=1))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+def _probe_tasks(args, jax, jnp, optax, results, depth_chs, init_params,
+                 forward, crop_batch, tr_x, tr_y, va_x, va_y, tr_xd, va_xd,
+                 n_coarse, n_fine, C, tag_chs):
     for task in args.tasks.split(","):
         if task == "coarse":
             proj = lambda y: y % n_coarse
@@ -334,27 +351,24 @@ def main():
                                 == va_yp[s:s + B]).sum()
                 return correct / len(va_x)
 
+            chs_s = ",".join(str(c) for c in depth_chs)
+            tag = f"{task}/{aug}" + (f"/chs={chs_s}" if tag_chs else "")
             t1 = time.time()
             losses = []
             for s in range(args.steps):
                 params, opt_state, key, loss = step(params, opt_state, key)
                 if s % 100 == 0:
                     losses.append(float(loss))
-                    print(f"[{task}/{aug}] step {s} loss {losses[-1]:.3f}",
+                    print(f"[{tag}] step {s} loss {losses[-1]:.3f}",
                           flush=True)
             acc = float(val_acc(params))
             dt = time.time() - t1
             chance = 1.0 / n_out
-            print(f"[{task}/{aug}] val top-1 {acc*100:.1f}% "
+            print(f"[{tag}] val top-1 {acc*100:.1f}% "
                   f"(chance {chance*100:.0f}%) in {dt:.0f}s", flush=True)
-            results[f"{task}/{aug}"] = {
+            results[tag] = {
                 "val_top1": acc, "chance": chance,
                 "final_loss": losses[-1], "steps": args.steps}
-
-    print(json.dumps(results, indent=1))
-    if args.json_out:
-        with open(args.json_out, "w") as f:
-            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

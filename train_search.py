@@ -79,6 +79,11 @@ parser.add_argument('--note', type=str, default='try')
 # hyper parameters
 parser.add_argument('--lambda_lat', type=float, default=0.1)
 parser.add_argument('--target_lat', type=float, default=15.0)
+parser.add_argument('--lat_under_boost', type=float, default=1.0,
+                    help='asymmetric multiplier on the UNDER-target side of '
+                         'the latency loss; 1.0 = the reference symmetric '
+                         '|lat/target-1| form (see docs/E2E_PROXY30.md on '
+                         'the soft-equilibrium ceiling)')
 # TPU-native extras
 parser.add_argument('--bf16', action='store_true', default=True)
 parser.add_argument('--no_bf16', dest='bf16', action='store_false')
@@ -207,6 +212,7 @@ def main():
         a_lr=args.a_lr, a_beta1=args.a_beta1, a_beta2=args.a_beta2,
         a_wd=args.a_wd, grad_clip=args.grad_clip,
         lambda_lat=args.lambda_lat, target_lat=args.target_lat,
+        lat_under_boost=args.lat_under_boost,
         valid_mask=net.valid_mask if hybrid else None)
     steps = make_search_steps(net, **step_kwargs)
 
