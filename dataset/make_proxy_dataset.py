@@ -274,8 +274,11 @@ def render_example_v3(label, rng, size):
         if inner_id >= fine_id:
             inner_id += 1
         yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+        # radius bounded so no rrc_min_scale>=0.35 crop can be
+        # majority-inner (label noise would cap every net equally,
+        # compressing the capacity separation this task exists to create)
         cx, cy = rng.uniform(0.2, 0.8, 2)
-        rad = rng.uniform(0.22, 0.30)
+        rad = rng.uniform(0.16, 0.24)
         inner = ((xx - cx) ** 2 + (yy - cy) ** 2 < rad * rad)[..., None]
         tex_in = fine_field_v3(inner_id, size, rng)[..., None]
         c1i, c2i = _color_pair(rng)

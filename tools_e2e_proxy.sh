@@ -16,10 +16,10 @@ set -u
 # probe scale — beyond what a weight-sharing supernet gets in a short
 # warmup at 100 classes. 30 classes keeps the compositional binding (depth
 # pressure) with ~3x faster traction; warmup is doubled for the same reason.
-ROOT=/root/data/proxy30
-NUM_CLASSES=30
+ROOT=${ROOT:-/root/data/proxy30}
+NUM_CLASSES=${NUM_CLASSES:-30}
 LUT=./latency_pkl/latency_tpu_v5e_bs32.pkl
-NOTE="proxy30-e2e${1:+-$1}"
+NOTE="${NOTE_PREFIX:-proxy30-e2e}${1:+-$1}"
 # per-stage save roots: the watchdog resumes from the newest checkpoint
 # under its --save, so sharing a root with older runs would cross-resume
 SAVE=./checkpoints_e2e/$NOTE
@@ -33,6 +33,10 @@ TARGET=${TARGET:-0.2}
 LAMBDA=${LAMBDA:-0.1}
 RRC=${RRC:-0.35}
 SCAN=${SCAN:-1}   # --scan_units: K>1 runs the one-jitted-scan macro-iteration
+T0=${T0:-5.0}
+TDECAY=${TDECAY:-0.85}   # reference schedule: 0.96 over 90 epochs
+BOOST=${BOOST:-1.0}
+EVAL_EPOCHS=${EVAL_EPOCHS:-24}
 
 echo "=== [1/5] search: $EPOCHS epochs, target_lat $TARGET, rrc_min $RRC"
 python tools_run_watchdog.py --save "$SAVE" --stall_sec 1200 \
@@ -43,7 +47,8 @@ python tools_run_watchdog.py --save "$SAVE" --stall_sec 1200 \
     --lookup_path "$LUT" --save "$SAVE" \
     --epochs $EPOCHS --warmup_epochs $WARMUP --batch_size 32 \
     --image_size 224 --num_classes $NUM_CLASSES --seed 2 \
-    --T 5.0 --T_decay 0.85 --lambda_lat $LAMBDA --target_lat $TARGET \
+    --T $T0 --T_decay $TDECAY --lambda_lat $LAMBDA --target_lat $TARGET \
+    --lat_under_boost $BOOST \
     --rrc_min_scale $RRC --save_freq 4 --scan_units $SCAN --note "$NOTE"
 
 RUN_DIR=$(ls -dt "$SAVE"/search-*-"$NOTE" 2>/dev/null | head -1)
@@ -68,7 +73,7 @@ python tools_run_watchdog.py --save "$EVSAVE" --stall_sec 1200 \
     --train_root "$ROOT" --val_root "$ROOT" \
     --train_list "$ROOT/proxy_train.txt" --val_list "$ROOT/proxy_val.txt" \
     --config_path "$RUN_DIR/model.config" --save "$EVSAVE" \
-    --epochs 24 --batch_size 64 --lr 0.05 --weight_decay 1e-5 \
+    --epochs $EVAL_EPOCHS --batch_size 64 --lr 0.05 --weight_decay 1e-5 \
     --label_smooth 0.1 --num_classes $NUM_CLASSES --image_size 224 \
     --dropout_rate 0.2 --drop_connect_rate 0.2 \
     --rrc_min_scale $RRC --workers 4 --note "$NOTE-retrain"

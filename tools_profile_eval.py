@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Per-stage timing/MFU breakdown of a parsed eval net (BN-folded, bs 256).
+
+Answers VERDICT r3 item 8: README's "eval ~15% of v5e bf16 peak" is a
+single aggregate — this tool shows WHERE the non-MXU time goes by timing
+cumulative prefixes of the folded network (stem, +stage1, ..., +head) on
+the attached chip and differencing, with the per-segment analytic FLOPs
+(cost/flops.py layer_flops) alongside. Depthwise convs can't use the MXU
+(one MAC per output element — they are VPU/bandwidth work), so the
+realistic ceiling for an MBConv-family net is set by the 1x1-conv share;
+the table quantifies that.
+
+Timing uses the chained-input value-pull discipline (cost/measure.force;
+identical-input loops time nonphysically fast through the axon relay, and
+block_until_ready does not block — CLAUDE.md).
+
+Usage:
+    python tools_profile_eval.py \
+        --config_path checkpoints_e2e/proxy30-e2e-family-c/search-*/model.config \
+        [--batch_size 256] [--image_size 224] [--peak_tflops 197]
+"""
+
+import argparse
+import glob
+import json
+import time
+
+import jax
+
+from tfnas_tpu.utils.platform import honor_cpu_platform_request
+
+honor_cpu_platform_request()  # JAX_PLATFORMS=cpu works despite the plugin
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tfnas_tpu.cost.flops import layer_flops  # noqa: E402
+from tfnas_tpu.cost.measure import force
+from tfnas_tpu.models.eval_net import EvalNetwork
+from tfnas_tpu.models.folding import fold_batchnorm
+
+
+def prefix_apply(net, upto):
+    """Jitted eval-mode forward through the first `upto` segments.
+
+    Segments: 0=stems, 1..6=stage1..stage6 (cumulative), 7=+head."""
+    stage_names = list(net.stages.keys())
+
+    def fn(params, x):
+        x, _ = net.first_stem.apply(params["first_stem"], {}, x,
+                                    training=False)
+        x, _ = net.second_stem.apply(params["second_stem"], {}, x,
+                                     training=False)
+        for s, stage in enumerate(stage_names):
+            if s >= upto - 1:
+                break
+            for i, block in enumerate(net.stages[stage]):
+                bn = f"block{i + 1}"
+                x, _ = block.apply(params[stage][bn], {}, x, training=False)
+        if upto >= len(stage_names) + 2:
+            x, _ = net.feature_mix_layer.apply(
+                params["feature_mix_layer"], {}, x, training=False)
+            x = jnp.mean(x, axis=(1, 2))
+            x, _ = net.classifier.apply(params["classifier"], {}, x,
+                                        training=False)
+        return x
+
+    return jax.jit(fn)
+
+
+def timeit(fn, params, x0, warmup=3, iters=20):
+    out = fn(params, x0)
+    force(out)
+    x = x0
+    for _ in range(warmup):
+        x = x0 + (out.ravel()[0] * 1e-8).astype(x0.dtype)
+        out = fn(params, x)
+    force(out)
+    tic = time.perf_counter()
+    for _ in range(iters):
+        x = x0 + (out.ravel()[0] * 1e-8).astype(x0.dtype)
+        out = fn(params, x)
+    force(out)
+    return (time.perf_counter() - tic) / iters * 1000.0
+
+
+def segment_flops(net, image_size):
+    """[(name, MFLOPs)] per segment at the given input resolution."""
+    segs = []
+    res = image_size
+    f, res = layer_flops(net.first_stem, res)
+    f2, res = layer_flops(net.second_stem, res)
+    segs.append(("stems", f + f2))
+    for stage, blocks in net.stages.items():
+        tot = 0
+        for b in blocks:
+            fb, res = layer_flops(b, res)
+            tot += fb
+        segs.append((stage, tot))
+    f, res = layer_flops(net.feature_mix_layer, res)
+    f += net.feature_mix_layer.out_channels * res * res  # GAP
+    f += net.classifier.in_features * net.classifier.out_features
+    segs.append(("head", f))
+    return [(n, fl / 1e6) for n, fl in segs]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config_path", required=True)
+    ap.add_argument("--num_classes", type=int, default=30)
+    ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--image_size", type=int, default=224)
+    ap.add_argument("--peak_tflops", type=float, default=197.0,
+                    help="chip bf16 peak (v5e: 197 TFLOP/s)")
+    ap.add_argument("--json_out", default="")
+    args = ap.parse_args()
+
+    cfg_path = sorted(glob.glob(args.config_path))[-1]
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    net = EvalNetwork.from_config(args.num_classes, cfg)
+    params, state = net.init(jax.random.PRNGKey(0))
+    folded, fparams = fold_batchnorm(net, params, state)
+    fparams = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        fparams)
+
+    x0 = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (args.batch_size, args.image_size, args.image_size, 3)),
+        jnp.bfloat16)
+
+    segs = segment_flops(folded, args.image_size)
+    n_seg = len(segs)
+    cum_ms = []
+    for upto in range(1, n_seg + 1):
+        fn = prefix_apply(folded, upto)
+        ms = timeit(fn, fparams, x0)
+        cum_ms.append(ms)
+        print(f"prefix {upto}/{n_seg} ({segs[upto-1][0]}): "
+              f"{ms:.3f} ms cumulative", flush=True)
+
+    print(f"\nconfig: {cfg_path}")
+    print(f"batch {args.batch_size} @ {args.image_size}px, BN-folded, bf16")
+    print("| segment | ms | MFLOPs | GFLOP/s | % of bf16 peak |")
+    print("|---|---|---|---|---|")
+    rows = []
+    prev = 0.0
+    total_f = sum(f for _, f in segs)
+    for (name, mf), cms in zip(segs, cum_ms):
+        dms = max(cms - prev, 0.0)
+        prev = cms
+        gflops = (mf * args.batch_size / 1e3) / dms if dms > 0 else float("nan")
+        pct = gflops / (args.peak_tflops * 1e3) * 100.0
+        rows.append({"segment": name, "ms": round(dms, 3),
+                     "MFLOPs": round(mf, 1),
+                     "GFLOPs_s": round(gflops, 1), "pct_peak": round(pct, 2)})
+        print(f"| {name} | {dms:.3f} | {mf:.1f} | {gflops:.0f} | {pct:.1f} |")
+    tot_ms = cum_ms[-1]
+    tot_gfs = total_f * args.batch_size / 1e3 / tot_ms
+    print(f"| TOTAL | {tot_ms:.3f} | {total_f:.1f} | {tot_gfs:.0f} | "
+          f"{tot_gfs / (args.peak_tflops * 1e3) * 100:.1f} |")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"rows": rows, "total_ms": tot_ms,
+                       "batch_size": args.batch_size,
+                       "config": cfg_path}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

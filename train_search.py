@@ -123,7 +123,11 @@ parser.add_argument('--scan_units', type=int, default=1,
                          'lax.scan over K units (2 bi-sampling weight steps '
                          '+ 1 soft arch step each) per dispatch, amortizing '
                          'host->device dispatch latency '
-                         '(make_scanned_search_iter). 1 = per-step dispatch.')
+                         '(make_scanned_search_iter). 1 = per-step dispatch. '
+                         'DEFAULT POLICY: 1 (reference-parity stepping; '
+                         'chip-side cost is ~1% either way). On a high-RTT '
+                         'tunneled host use 4 — every production recipe in '
+                         'this repo (tools_e2e_*.sh) does.')
 
 
 def main():

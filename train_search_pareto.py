@@ -72,7 +72,7 @@ parser.add_argument('--workers', type=int, default=4)
 parser.add_argument('--bf16', action='store_true', default=True)
 parser.add_argument('--no_bf16', dest='bf16', action='store_false')
 parser.add_argument('--space', type=str, default='mbconv',
-                    choices=['mbconv', 'hybrid'])
+                    choices=['mbconv', 'hybrid', 'tiny'])
 parser.add_argument('--resume', type=str, default='',
                     help='resume: comma-separated per-group '
                          'searched_model_g{g}_{NN}.pkl paths (same order '
@@ -103,17 +103,30 @@ def main():
     mesh = make_mesh(n_dev, pareto_groups=G)
     logging.info("mesh: %s, targets: %s", mesh, targets)
 
-    lat_lookup = load_lat_lookup(args.lookup_path)
     hybrid = args.space == 'hybrid'
+    tiny_sp = None
     if hybrid:
         from tfnas_tpu.models import hybrid_space as hs
         from tfnas_tpu.models.supernet_hybrid import HybridSuperNetwork
         build_masks, key_dddict, space_num_ops = (
             hs.build_mc_mask_dddict, hs.build_lat_lookup_key_dddict(),
             hs.NUM_OPS)
+    elif args.space == 'tiny':
+        tiny_sp = ss.tiny_space(args.image_size)
+        build_masks, key_dddict, space_num_ops = (
+            tiny_sp.build_mc_mask_dddict,
+            tiny_sp.build_lat_lookup_key_dddict(), tiny_sp.NUM_OPS)
     else:
         build_masks, key_dddict, space_num_ops = (
             ss.build_mc_mask_dddict, ss.lat_lookup_key_dddict, ss.NUM_OPS)
+    if tiny_sp is not None:
+        # as in train_search.py: the fixture space gets the deterministic
+        # in-process analytic table (the shipped pickles cover the
+        # reference space only)
+        from make_lat_lut_tpu import build_space_analytic_lut
+        lat_lookup = build_space_analytic_lut(tiny_sp)
+    else:
+        lat_lookup = load_lat_lookup(args.lookup_path)
     # per-group mask registries (elasticity diverges per target)
     group_masks = [build_masks() for _ in range(G)]
     mc_maxnum = get_mc_num_dddict(group_masks[0], is_max=True)
@@ -123,7 +136,8 @@ def main():
     bn_axis = 'data' if n_dev // G > 1 else None
     net = (HybridSuperNetwork(args.num_classes, bn_axis_name=bn_axis)
            if hybrid else
-           SuperNetwork(args.num_classes, bn_axis_name=bn_axis))
+           SuperNetwork(args.num_classes, bn_axis_name=bn_axis,
+                        space=tiny_sp))
     state = init_pareto_state(net, jax.random.PRNGKey(args.seed), G)
     start_epoch = 0
     if args.resume:
@@ -242,7 +256,7 @@ def main():
                                             host_state.arch_params)
             op_w, depth_w = get_op_and_depth_weights(
                 {"arch_params": arch_g})
-            parsed = parse_architecture(op_w, depth_w)
+            parsed = parse_architecture(op_w, depth_w, space=net.ss)
             if epoch >= args.warmup_epochs:
                 mc_num, before, after = shrink_or_expand(
                     parsed, group_mc_num[g], mc_maxnum,
