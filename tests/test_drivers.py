@@ -75,7 +75,7 @@ def test_pareto_search_resume_per_group(tmp_path):
             "--save", save, "--print_freq", "1", "--note", "p",
             "--no_bf16"]
     run_with_argv("train_search_pareto", base + ["--epochs", "2"])
-    run_dir = sorted(glob.glob(save + "/search-*"))[-1]
+    run_dir = sorted(glob.glob(save + "/pareto-search-*"))[-1]
     for g in (0, 1):
         assert glob.glob(f"{run_dir}/searched_model_g{g}_02.pkl")
 
@@ -83,7 +83,7 @@ def test_pareto_search_resume_per_group(tmp_path):
     run_with_argv("train_search_pareto", base + [
         "--epochs", "3",
         "--resume", f"{run_dir}/searched_model_g{{g}}_02.pkl"])
-    run_dir2 = sorted(glob.glob(save + "/search-*"))[-1]
+    run_dir2 = sorted(glob.glob(save + "/pareto-search-*"))[-1]
     g_cfgs = []
     for g in (0, 1):
         ck = f"{run_dir2}/searched_model_g{g}_03.pkl"
