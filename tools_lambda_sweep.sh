@@ -45,7 +45,8 @@ run_one () {  # $1=tag $2=lambda $3=under_boost
   rm -f "$RUN_DIR"/searched_model_*.pkl
 }
 
-for SPEC in ${SPECS:-"l0.1:0.1:1.0 l2.0:2.0:1.0 b4:0.5:4.0"}; do
+SPECS=${SPECS:-"l0.1:0.1:1.0 l2.0:2.0:1.0 b4:0.5:4.0"}
+for SPEC in $SPECS; do
   IFS=: read TAG LAM BOOST <<< "$SPEC"
   run_one "$TAG" "$LAM" "$BOOST"
 done

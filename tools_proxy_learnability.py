@@ -38,6 +38,15 @@ task itself needs simplification.
 Reference anchor: the real recipe trains on ImageNet-100 with these augs
 (/root/reference/train_search.py:124-141); the proxy stands in for it on a
 box without ImageNet.
+
+Round-4 v3 gate findings (60-way, chance 1.67%; /tmp/v3_probe*.json):
+  full/rrc stem-only(48):        2.9%  val top-1  (60 train/class)
+  full/rrc deep(32,64,128,256):  9.8%  val top-1  (60 train/class)
+  full/rrc deep, 150/class:     22.1%  val top-1  (2500 steps)
+  => capacity separation exists (3.3x stem->deep) and the deep probe
+     MEMORIZES (train loss 0.89) while generalizing at 9.8->22.1% as data
+     grows — v3 is generalization-bound, the axis the family rescore
+     needs. Gate PASSED; /root/data/proxy60 generated at 150 train/class.
 """
 
 import argparse
@@ -344,11 +353,11 @@ def _probe_tasks(args, jax, jnp, optax, results, depth_chs, init_params,
                 correct = 0.0
                 B = 250
                 for s in range(0, len(va_x), B):
-                    x = jax.lax.dynamic_slice(
-                        va_xd, (s, o, o, 0), (B, C, C, 3))
+                    e = min(s + B, len(va_x))  # remainder-safe tail batch
+                    x = va_xd[s:e, o:o + C, o:o + C]
                     logits = forward(params, x)
                     correct += (jnp.argmax(logits, -1)
-                                == va_yp[s:s + B]).sum()
+                                == va_yp[s:e]).sum()
                 return correct / len(va_x)
 
             chs_s = ",".join(str(c) for c in depth_chs)
