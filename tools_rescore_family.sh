@@ -21,7 +21,7 @@ TAG=${TAG:-v3}
 RRC=${RRC:-0.35}
 BS=${BS:-64}
 
-MEMBERS=${@:-proxy30-e2e-family-e proxy30-e2e proxy30-e2e-depth proxy30-e2e-family-c}
+MEMBERS=${@:-proxy30-e2e-family-e proxy30-e2e proxy30-e2e-depth proxy30-e2e-family-c proxy30-e2e-family-a}
 
 for M in $MEMBERS; do
   RUN_DIR=$(ls -dt ./checkpoints_e2e/$M/search-*/ 2>/dev/null | head -1)
