@@ -9,10 +9,14 @@ CLI contract otherwise matches train_eval.py:29-59.
 """
 
 import argparse
+import faulthandler
 import json
 import logging
 import os
+import signal
 import time
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 import jax
 import jax.numpy as jnp
