@@ -43,10 +43,22 @@ from tfnas_tpu.models.folding import fold_batchnorm
 def prefix_apply(net, upto):
     """Jitted eval-mode forward through the first `upto` segments.
 
-    Segments: 0=stems, 1..6=stage1..stage6 (cumulative), 7=+head."""
+    Segments: 0=stems, 1..6=stage1..stage6 (cumulative), 7=+head.
+    upto=0 is the dispatch-floor calibration: a near-empty chained loop
+    whose cost is the per-call overhead that remains after amortization,
+    subtracted from every cumulative time.
+
+    Returns the UNJITTED body — timeit() wraps it in a fori_loop chain so
+    all `iters` iterations run inside ONE compiled program. Timing each
+    iteration as its own dispatch is hopeless on the tunneled link: the
+    per-dispatch relay overhead is ~13 ms while the largest prefix is ~8 ms
+    of chip compute (measured 2026-08-20), so eager-loop differences are
+    pure noise."""
     stage_names = list(net.stages.keys())
 
     def fn(params, x):
+        if upto == 0:
+            return x[:, 0, 0, :].sum()
         x, _ = net.first_stem.apply(params["first_stem"], {}, x,
                                     training=False)
         x, _ = net.second_stem.apply(params["second_stem"], {}, x,
@@ -65,23 +77,35 @@ def prefix_apply(net, upto):
                                         training=False)
         return x
 
-    return jax.jit(fn)
+    return fn
 
 
-def timeit(fn, params, x0, warmup=3, iters=20):
-    out = fn(params, x0)
-    force(out)
-    x = x0
-    for _ in range(warmup):
-        x = x0 + (out.ravel()[0] * 1e-8).astype(x0.dtype)
-        out = fn(params, x)
-    force(out)
-    tic = time.perf_counter()
-    for _ in range(iters):
-        x = x0 + (out.ravel()[0] * 1e-8).astype(x0.dtype)
-        out = fn(params, x)
-    force(out)
-    return (time.perf_counter() - tic) / iters * 1000.0
+def timeit(fn, params, x0, warmup=2, iters=50, reps=3):
+    """Median per-iteration ms over `reps` calls of one fori_loop program.
+
+    The data-dependent chain (next input derives from this output) runs
+    INSIDE the compiled program, so the ~13 ms/dispatch relay overhead is
+    paid once per `iters` iterations, not once per iteration. The chain
+    defeats relay-side result caching (identical-input loops time
+    nonphysically fast — CLAUDE.md) and the final scalar is force()d
+    because block_until_ready does not block on this relay."""
+
+    @jax.jit
+    def chained(params, x0):
+        def body(_, x):
+            y = fn(params, x)
+            return x0 + (y.ravel()[0] * 1e-8).astype(x0.dtype)
+        x = jax.lax.fori_loop(0, iters, body, x0)
+        return x.ravel()[0]
+
+    for _ in range(warmup):  # compile + chip/relay warm-up
+        force(chained(params, x0))
+    times = []
+    for _ in range(reps):
+        tic = time.perf_counter()
+        force(chained(params, x0))
+        times.append((time.perf_counter() - tic) / iters * 1000.0)
+    return sorted(times)[len(times) // 2]
 
 
 def segment_flops(net, image_size):
@@ -112,6 +136,7 @@ def main():
     ap.add_argument("--image_size", type=int, default=224)
     ap.add_argument("--peak_tflops", type=float, default=197.0,
                     help="chip bf16 peak (v5e: 197 TFLOP/s)")
+    ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--json_out", default="")
     args = ap.parse_args()
 
@@ -131,13 +156,17 @@ def main():
 
     segs = segment_flops(folded, args.image_size)
     n_seg = len(segs)
+    floor_ms = timeit(prefix_apply(folded, 0), fparams, x0,
+                      iters=args.iters)
+    print(f"chain floor (empty-body chained loop): {floor_ms:.3f} ms/iter",
+          flush=True)
     cum_ms = []
     for upto in range(1, n_seg + 1):
         fn = prefix_apply(folded, upto)
-        ms = timeit(fn, fparams, x0)
+        ms = timeit(fn, fparams, x0, iters=args.iters) - floor_ms
         cum_ms.append(ms)
         print(f"prefix {upto}/{n_seg} ({segs[upto-1][0]}): "
-              f"{ms:.3f} ms cumulative", flush=True)
+              f"{ms:.3f} ms cumulative (floor-corrected)", flush=True)
 
     print(f"\nconfig: {cfg_path}")
     print(f"batch {args.batch_size} @ {args.image_size}px, BN-folded, bf16")
@@ -149,19 +178,24 @@ def main():
     for (name, mf), cms in zip(segs, cum_ms):
         dms = max(cms - prev, 0.0)
         prev = cms
-        gflops = (mf * args.batch_size / 1e3) / dms if dms > 0 else float("nan")
+        # mf is MFLOPs/image; mf*bs [MFLOP] / dms [ms] = GFLOP/s exactly
+        gflops = (mf * args.batch_size) / dms if dms > 0 else float("nan")
         pct = gflops / (args.peak_tflops * 1e3) * 100.0
         rows.append({"segment": name, "ms": round(dms, 3),
                      "MFLOPs": round(mf, 1),
                      "GFLOPs_s": round(gflops, 1), "pct_peak": round(pct, 2)})
         print(f"| {name} | {dms:.3f} | {mf:.1f} | {gflops:.0f} | {pct:.1f} |")
     tot_ms = cum_ms[-1]
-    tot_gfs = total_f * args.batch_size / 1e3 / tot_ms
+    tot_gfs = total_f * args.batch_size / tot_ms
     print(f"| TOTAL | {tot_ms:.3f} | {total_f:.1f} | {tot_gfs:.0f} | "
           f"{tot_gfs / (args.peak_tflops * 1e3) * 100:.1f} |")
+    print(f"(chain floor {floor_ms:.3f} ms/iter subtracted from every "
+          f"cumulative time; {args.iters} iters inside one fori_loop "
+          f"program, median of 3 reps)")
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump({"rows": rows, "total_ms": tot_ms,
+                       "floor_ms": floor_ms,
                        "batch_size": args.batch_size,
                        "config": cfg_path}, f, indent=1)
 
