@@ -170,7 +170,7 @@ def main():
 
     print(f"\nconfig: {cfg_path}")
     print(f"batch {args.batch_size} @ {args.image_size}px, BN-folded, bf16")
-    print("| segment | ms | MFLOPs | GFLOP/s | % of bf16 peak |")
+    print("| segment | ms | MMACs | GFLOP/s | % of bf16 peak |")
     print("|---|---|---|---|---|")
     rows = []
     prev = 0.0
@@ -178,15 +178,16 @@ def main():
     for (name, mf), cms in zip(segs, cum_ms):
         dms = max(cms - prev, 0.0)
         prev = cms
-        # mf is MFLOPs/image; mf*bs [MFLOP] / dms [ms] = GFLOP/s exactly
-        gflops = (mf * args.batch_size) / dms if dms > 0 else float("nan")
+        # mf is MMACs/image (layer_flops counts multiply-accumulates once,
+        # reference parity); ×2 for FLOPs against the chip's FLOP/s peak.
+        gflops = (2.0 * mf * args.batch_size) / dms if dms > 0 else float("nan")
         pct = gflops / (args.peak_tflops * 1e3) * 100.0
         rows.append({"segment": name, "ms": round(dms, 3),
-                     "MFLOPs": round(mf, 1),
+                     "MMACs": round(mf, 1),
                      "GFLOPs_s": round(gflops, 1), "pct_peak": round(pct, 2)})
         print(f"| {name} | {dms:.3f} | {mf:.1f} | {gflops:.0f} | {pct:.1f} |")
     tot_ms = cum_ms[-1]
-    tot_gfs = total_f * args.batch_size / tot_ms
+    tot_gfs = 2.0 * total_f * args.batch_size / tot_ms
     print(f"| TOTAL | {tot_ms:.3f} | {total_f:.1f} | {tot_gfs:.0f} | "
           f"{tot_gfs / (args.peak_tflops * 1e3) * 100:.1f} |")
     print(f"(chain floor {floor_ms:.3f} ms/iter subtracted from every "
