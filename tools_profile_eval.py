@@ -43,7 +43,9 @@ from tfnas_tpu.models.folding import fold_batchnorm
 def prefix_apply(net, upto):
     """Jitted eval-mode forward through the first `upto` segments.
 
-    Segments: 0=stems, 1..6=stage1..stage6 (cumulative), 7=+head.
+    Segments: 1=first_stem, 2=+second_stem, 3..8=+stage1..stage6, 9=+head
+    (first/second stem split so the 3-channel 224² conv — an MXU
+    under-filler — can be told apart from the 112² depthwise block).
     upto=0 is the dispatch-floor calibration: a near-empty chained loop
     whose cost is the per-call overhead that remains after amortization,
     subtracted from every cumulative time.
@@ -61,15 +63,16 @@ def prefix_apply(net, upto):
             return x[:, 0, 0, :].sum()
         x, _ = net.first_stem.apply(params["first_stem"], {}, x,
                                     training=False)
-        x, _ = net.second_stem.apply(params["second_stem"], {}, x,
-                                     training=False)
+        if upto >= 2:
+            x, _ = net.second_stem.apply(params["second_stem"], {}, x,
+                                         training=False)
         for s, stage in enumerate(stage_names):
-            if s >= upto - 1:
+            if s >= upto - 2:
                 break
             for i, block in enumerate(net.stages[stage]):
                 bn = f"block{i + 1}"
                 x, _ = block.apply(params[stage][bn], {}, x, training=False)
-        if upto >= len(stage_names) + 2:
+        if upto >= len(stage_names) + 3:
             x, _ = net.feature_mix_layer.apply(
                 params["feature_mix_layer"], {}, x, training=False)
             x = jnp.mean(x, axis=(1, 2))
@@ -113,8 +116,9 @@ def segment_flops(net, image_size):
     segs = []
     res = image_size
     f, res = layer_flops(net.first_stem, res)
+    segs.append(("first_stem", f))
     f2, res = layer_flops(net.second_stem, res)
-    segs.append(("stems", f + f2))
+    segs.append(("second_stem", f2))
     for stage, blocks in net.stages.items():
         tot = 0
         for b in blocks:
@@ -123,8 +127,8 @@ def segment_flops(net, image_size):
         segs.append((stage, tot))
     f, res = layer_flops(net.feature_mix_layer, res)
     f += net.feature_mix_layer.out_channels * res * res  # GAP
-    f += net.classifier.in_features * net.classifier.out_features
-    segs.append(("head", f))
+    fc, _ = layer_flops(net.classifier, 1)  # incl. bias, like the hook
+    segs.append(("head", f + fc))
     return [(n, fl / 1e6) for n, fl in segs]
 
 
