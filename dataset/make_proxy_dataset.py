@@ -246,8 +246,16 @@ def _blur(img, sigma, rng):
     return out.astype(np.float32)
 
 
-def render_example_v3(label, rng, size):
-    """One [size,size,3] uint8 image of v3 class `label` (= 5*fine + coarse)."""
+def render_example_v3(label, rng, size, corrupt=0.0):
+    """One [size,size,3] uint8 image of v3 class `label` (= 5*fine + coarse).
+
+    `corrupt` in [0,1] scales the nuisance continuum (blur/noise/vignette/
+    contrast) from the training distribution (0) to a held-out harder
+    render (1). The corruption parameters are drawn AFTER every scene-
+    geometry draw, so for the same `rng` seed tuple the corrupted image
+    depicts the IDENTICAL scene — an ImageNet-C-style covariate shift of
+    the pinned val split, used to rank converged models whose clean
+    accuracy saturates (docs/E2E_PROXY30.md "The v3 Pareto")."""
     fine_id, coarse_id = label // N_COARSE_V3, label % N_COARSE_V3
 
     # ground distractor: confusable partner with prob 0.5, else random other
@@ -285,13 +293,21 @@ def render_example_v3(label, rng, size):
         fig = np.where(inner, tex_in * c1i + (1 - tex_in) * c2i, fig)
 
     img = mask * fig + (1 - mask) * gnd
-    img = _blur(img, rng.uniform(0.0, 1.1), rng)
-    img = img + rng.normal(0, rng.uniform(0.02, 0.12),
+    # corrupt>0 scales blur with render size (resolution-invariant smear);
+    # corrupt==0 must stay bit-identical to the pinned proxy60 renders
+    sigma = rng.uniform(1.2 * corrupt, 1.1 + 1.7 * corrupt)
+    if corrupt > 0.0:
+        sigma *= size / 224.0
+    img = _blur(img, sigma, rng)
+    img = img + rng.normal(0, rng.uniform(0.02 + 0.10 * corrupt,
+                                          0.12 + 0.14 * corrupt),
                            img.shape).astype(np.float32)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     cx, cy = rng.uniform(0.3, 0.7, 2)
     d2 = (xx - cx) ** 2 + (yy - cy) ** 2
-    img = img * (1.0 - rng.uniform(0.0, 0.25) * d2)[..., None]
+    img = img * (1.0 - rng.uniform(0.0, 0.25 + 0.3 * corrupt) * d2)[..., None]
+    if corrupt > 0.0:
+        img = (img - 0.5) * rng.uniform(1.0 - 0.5 * corrupt, 1.0) + 0.5
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
@@ -359,11 +375,23 @@ def main():
                    help="2: round-3 compositional task (saturates for "
                         ">=189M-FLOP nets); 3: capacity-graded task "
                         "(60 classes = 12 fine x 5 coarse)")
+    p.add_argument("--corrupt", type=float, default=0.0,
+                   help="v3 only: nuisance severity in [0,1]. With the "
+                        "same --seed the scenes are identical to the "
+                        "corrupt=0 render (corruption draws come after "
+                        "all geometry draws) — an ImageNet-C-style "
+                        "covariate shift of the pinned split. Per-image "
+                        "JPEG quality also drops with severity.")
+    p.add_argument("--val_only", action="store_true",
+                   help="render/list only the val tail of each class "
+                        "(indices keep their train+val positions, so the "
+                        "val scenes match a full render of the same seed)")
     args = p.parse_args()
     if args.version == 3:
         assert args.num_classes <= N_FINE_V3 * N_COARSE_V3
     else:
         assert args.num_classes <= N_FINE * N_COARSE
+        assert args.corrupt == 0.0, "--corrupt is a v3 knob"
 
     os.makedirs(args.out_root, exist_ok=True)
     list_dir = args.list_dir or args.out_root
@@ -373,14 +401,26 @@ def main():
         os.makedirs(os.path.join(args.out_root, cls_dir), exist_ok=True)
         n = args.train_per_class + args.val_per_class
         for i in range(n):
+            if args.val_only and i < args.train_per_class:
+                continue
             irng = np.random.default_rng((args.seed, label, i, args.version))
             size = int(irng.integers(args.min_size, args.max_size + 1))
-            render = render_example_v3 if args.version == 3 else render_example
-            img = render(label, irng, size)
+            if args.version == 3:
+                img = render_example_v3(label, irng, size,
+                                        corrupt=args.corrupt)
+            else:
+                img = render_example(label, irng, size)
+            quality = args.quality
+            if args.corrupt > 0.0:
+                # severity also degrades the JPEG encode (drawn last, so
+                # the image content above is unaffected)
+                lo = args.quality - int(50 * args.corrupt)
+                hi = args.quality - int(28 * args.corrupt)
+                quality = int(irng.integers(lo, hi + 1))
             rel = f"{cls_dir}/img_{i:05d}.jpg"
             path = os.path.join(args.out_root, rel)
             if not os.path.exists(path):
-                Image.fromarray(img).save(path, quality=args.quality)
+                Image.fromarray(img).save(path, quality=quality)
             (train_lines if i < args.train_per_class
              else val_lines).append(f"{rel} {label}")
         if (label + 1) % 10 == 0:
@@ -388,11 +428,12 @@ def main():
 
     tr = os.path.join(list_dir, "proxy_train.txt")
     va = os.path.join(list_dir, "proxy_val.txt")
-    with open(tr, "w") as f:
-        f.write("\n".join(train_lines) + "\n")
+    if train_lines:
+        with open(tr, "w") as f:
+            f.write("\n".join(train_lines) + "\n")
+        print(f"{len(train_lines)} train -> {tr}")
     with open(va, "w") as f:
         f.write("\n".join(val_lines) + "\n")
-    print(f"{len(train_lines)} train -> {tr}")
     print(f"{len(val_lines)} val -> {va}")
 
 

@@ -28,6 +28,45 @@ def test_all_labels_render():
         assert img.std() > 5.0  # not a constant image
 
 
+def test_corrupt_zero_is_the_legacy_render():
+    """corrupt=0 must stay bit-identical to the pre-corrupt-knob renderer
+    (the pinned proxy60 regenerates bit-identically from its README
+    command); pinned by checksum of one fixed (seed,label,i,version)
+    tuple. If a renderer change is intentional, re-pin AND regenerate the
+    committed proxy60 evidence."""
+    img = render_example_v3(17, np.random.default_rng((7, 17, 150, 3)), 256)
+    assert int(img.astype(np.uint64).sum()) == 21777547
+
+
+def test_corrupt_shifts_rendering_but_not_the_scene():
+    """corrupt>0 draws corruption params after all geometry draws: the
+    corrupted image must differ from the clean one, but much less than an
+    image of a different scene (same label, different index) differs —
+    i.e. it is a covariate shift of the SAME scene."""
+    rng = lambda i: np.random.default_rng((7, 23, i, 3))  # noqa: E731
+    clean = render_example_v3(23, rng(150), 256).astype(np.float32)
+    hard = render_example_v3(23, rng(150), 256, corrupt=1.0).astype(np.float32)
+    other = render_example_v3(23, rng(151), 256).astype(np.float32)
+    d_corrupt = np.abs(hard - clean).mean()
+    d_scene = np.abs(other - clean).mean()
+    assert d_corrupt > 2.0            # corruption visibly changes pixels
+    assert d_corrupt < 0.6 * d_scene  # ... but the scene is preserved
+
+
+def test_corrupt_severity_is_monotone():
+    """Severity must actually bind: the corrupted render's correlation
+    with the clean render of the same scene decays monotonically with
+    `corrupt` (blur+noise+vignette+contrast each push it down)."""
+    def corr(c):
+        r = lambda: np.random.default_rng((7, 11, 150, 3))  # noqa: E731
+        a = render_example_v3(11, r(), 256).astype(np.float32).ravel()
+        b = render_example_v3(11, r(), 256,
+                              corrupt=c).astype(np.float32).ravel()
+        return np.corrcoef(a, b)[0, 1]
+    c25, c50, c100 = corr(0.25), corr(0.5), corr(1.0)
+    assert 1.0 > c25 > c50 > c100 > 0.75  # shifted, monotone, same scene
+
+
 def test_duty_variants_separated_and_scale_invariant():
     """The on-fraction (duty) of variant 0 vs 1 of each family must stay
     separated by a clear margin after per-image jitter, at BOTH render
