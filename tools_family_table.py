@@ -61,9 +61,12 @@ def search_args(search_dir):
     return {"target_lat": float("nan"), "space": "?", "lookup_path": ""}
 
 
-def test_scores(eval_dir):
+def test_scores(eval_dir, fname="test.txt"):
     top1 = top5 = None
-    with open(os.path.join(eval_dir, "test.txt")) as f:
+    path = os.path.join(eval_dir, fname)
+    if not os.path.exists(path):
+        return None, None
+    with open(path) as f:
         for line in f:
             m = re.search(r"Val_acc_top1:\s*([\d.]+)", line)
             if m:
@@ -72,6 +75,24 @@ def test_scores(eval_dir):
             if m:
                 top5 = float(m.group(1))
     return top1, top5
+
+
+def budget_score(eval_dir, epoch):
+    """Val top-1 after a FIXED `epoch`-epoch training budget, read from the
+    retrain log's per-epoch eval lines. Speed-of-traction under an
+    identical recipe is the capacity-sensitive observable on proxy tasks
+    whose CONVERGED accuracy saturates for every family member (see
+    docs/E2E_PROXY30.md 'The v3 Pareto')."""
+    path = os.path.join(eval_dir, "log.txt")
+    if not os.path.exists(path):
+        return None
+    seen = []
+    with open(path) as f:
+        for line in f:
+            m = re.search(r"Val_acc_top1:\s*([\d.]+)", line)
+            if m:
+                seen.append(float(m.group(1)))
+    return seen[epoch] if len(seen) > epoch else None
 
 
 def arch_stats(config_path, lookup_path, num_classes=30):
@@ -160,6 +181,10 @@ def main():
                     help="pair `<name>-rescore-<tag>` eval dirs with "
                          "<name>'s search dir (tools_rescore_family.sh "
                          "re-scoring on a different proxy)")
+    ap.add_argument("--budget_epoch", type=int, default=3,
+                    help="also report val top-1 at this 0-based retrain "
+                         "epoch (fixed-budget capacity observable; column "
+                         "only appears when retrain logs are present)")
     args = ap.parse_args()
 
     if args.band:
@@ -172,28 +197,45 @@ def main():
         st = arch_stats(os.path.join(search_dir, "model.config"),
                         sa["lookup_path"], args.num_classes)
         top1, top5 = test_scores(eval_dir)
+        hard1, hard5 = test_scores(eval_dir, "hardtest.txt")
         rows.append({"name": name, "target_lat": sa["target_lat"],
                      "space": sa["space"], **st,
                      "top1": top1, "top5": top5,
+                     "hard_top1": hard1, "hard_top5": hard5,
+                     "budget_top1": budget_score(eval_dir,
+                                                 args.budget_epoch),
                      "search_dir": search_dir, "eval_dir": eval_dir})
     rows.sort(key=lambda r: r["flops_M"])
+    have_hard = any(r["hard_top1"] is not None for r in rows)
+    have_budget = any(r["budget_top1"] is not None for r in rows)
 
     if args.json:
         print(json.dumps(rows))
         return
+    extra_h = ""
+    if have_hard:
+        extra_h += " hard top-1 |"
+    if have_budget:
+        extra_h += f" ep{args.budget_epoch} top-1 |"
     print("| Run | space | target (ms) | parsed LUT lat (ms) | FLOPs | "
-          "params | depths | test top-1 | top-5 |")
-    print("|---|---|---|---|---|---|---|---|---|")
+          "params | depths | test top-1 | top-5 |" + extra_h)
+    print("|---|---|---|---|---|---|---|---|---|"
+          + "---|" * (have_hard + have_budget))
     for r in rows:
         depths = "/".join(str(d) for d in r["depths"])
         space = r["space"] + (" (ViT)" if r["has_vit"] else "")
         lat = ("—" if r["lut_lat_ms"] is None
                else f"{r['lut_lat_ms']:.3f}")
-        top1 = "—" if r["top1"] is None else f"{r['top1']:.2f}"
-        top5 = "—" if r["top5"] is None else f"{r['top5']:.2f}"
+        def fmt(v):
+            return "—" if v is None else f"{v:.2f}"
+        extra = ""
+        if have_hard:
+            extra += f" {fmt(r['hard_top1'])} |"
+        if have_budget:
+            extra += f" {fmt(r['budget_top1'])} |"
         print(f"| {r['name']} | {space} | {r['target_lat']:.2f} | {lat} | "
               f"{r['flops_M']:.1f}M | {r['params_MB']:.2f}MB | {depths} | "
-              f"{top1} | {top5} |")
+              f"{fmt(r['top1'])} | {fmt(r['top5'])} |" + extra)
 
 
 if __name__ == "__main__":
