@@ -19,6 +19,7 @@ HARDROOT=${HARDROOT:-/root/data/proxy60hard}
 CORRUPT=${CORRUPT:-1.0}
 TAG=${TAG:-v3}
 BS=${BS:-64}
+OUT_NAME=${OUT_NAME:-hardtest.txt}   # e.g. hardtest_c50.txt for CORRUPT=0.5
 
 MEMBERS=${@:-proxy30-e2e-family-e proxy30-e2e proxy30-e2e-depth proxy30-e2e-family-c proxy30-e2e-family-a}
 
@@ -34,7 +35,7 @@ for M in $MEMBERS; do
   CFG="$RUN_DIR/model.config"
   EVAL_DIR=$(ls -dt ./checkpoints_e2e/$M-rescore-$TAG/eval-* 2>/dev/null | head -1)
   BEST="$EVAL_DIR/model_best.pkl"
-  OUT="$EVAL_DIR/hardtest.txt"
+  OUT="$EVAL_DIR/$OUT_NAME"
   if [ ! -f "$CFG" ] || [ ! -f "$BEST" ]; then
     echo "=== $M: missing config or rescore best ckpt, skip"; continue
   fi
