@@ -198,29 +198,34 @@ def main():
                         sa["lookup_path"], args.num_classes)
         top1, top5 = test_scores(eval_dir)
         hard1, hard5 = test_scores(eval_dir, "hardtest.txt")
+        h50_1, _ = test_scores(eval_dir, "hardtest_c50.txt")
         rows.append({"name": name, "target_lat": sa["target_lat"],
                      "space": sa["space"], **st,
                      "top1": top1, "top5": top5,
                      "hard_top1": hard1, "hard_top5": hard5,
+                     "hard50_top1": h50_1,
                      "budget_top1": budget_score(eval_dir,
                                                  args.budget_epoch),
                      "search_dir": search_dir, "eval_dir": eval_dir})
     rows.sort(key=lambda r: r["flops_M"])
     have_hard = any(r["hard_top1"] is not None for r in rows)
+    have_h50 = any(r["hard50_top1"] is not None for r in rows)
     have_budget = any(r["budget_top1"] is not None for r in rows)
 
     if args.json:
         print(json.dumps(rows))
         return
     extra_h = ""
+    if have_h50:
+        extra_h += " hard@0.5 top-1 |"
     if have_hard:
-        extra_h += " hard top-1 |"
+        extra_h += " hard@1.0 top-1 |"
     if have_budget:
         extra_h += f" ep{args.budget_epoch} top-1 |"
     print("| Run | space | target (ms) | parsed LUT lat (ms) | FLOPs | "
           "params | depths | test top-1 | top-5 |" + extra_h)
     print("|---|---|---|---|---|---|---|---|---|"
-          + "---|" * (have_hard + have_budget))
+          + "---|" * (have_hard + have_h50 + have_budget))
     for r in rows:
         depths = "/".join(str(d) for d in r["depths"])
         space = r["space"] + (" (ViT)" if r["has_vit"] else "")
@@ -229,6 +234,8 @@ def main():
         def fmt(v):
             return "—" if v is None else f"{v:.2f}"
         extra = ""
+        if have_h50:
+            extra += f" {fmt(r['hard50_top1'])} |"
         if have_hard:
             extra += f" {fmt(r['hard_top1'])} |"
         if have_budget:
