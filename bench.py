@@ -23,7 +23,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 "secondary": {...the eval metric...}}.
 """
 
+import contextlib
 import json
+import os
+import signal
 import time
 
 import jax
@@ -31,6 +34,74 @@ import jax.numpy as jnp
 import numpy as np
 
 from tfnas_tpu.cost.measure import force
+
+_PAUSABLE = {"train_search.py", "train_eval.py", "test.py",
+             "make_lat_lut_tpu.py", "tools_profile_eval.py",
+             "tools_profile.py"}
+
+
+def _find_trainer_pids():
+    """PIDs of live driver jobs (search/eval/test) plus their children.
+
+    The driver runs bench.py at round end even if a watchdogged run is
+    mid-flight; an unpaused trainer contends for the ONE core + chip and
+    inflates timings 3-5x (CLAUDE.md). Matched by exact script basename —
+    the FIRST .py token in argv — so the supervising watchdog
+    (tools_run_watchdog.py ... -- python -u train_search.py ...) is NOT
+    matched: it must stay running so a bench crash self-heals (its stall
+    detector kills+resumes a trainer left SIGSTOPped after ~20 min)."""
+    pids = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == os.getpid():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                argv = f.read().split(b"\0")
+        except OSError:
+            continue
+        first_py = next((a for a in argv if a.endswith(b".py")), b"")
+        if os.path.basename(first_py).decode() in _PAUSABLE:
+            pids.append(int(pid))
+            try:  # multiprocessing data workers, if any
+                for task in os.listdir(f"/proc/{pid}/task"):
+                    with open(f"/proc/{pid}/task/{task}/children") as f:
+                        pids.extend(int(c) for c in f.read().split())
+            except OSError:
+                pass
+    return sorted(set(pids))
+
+
+@contextlib.contextmanager
+def paused_trainers():
+    """SIGSTOP competing driver jobs for the measurement, SIGCONT after."""
+    pids = _find_trainer_pids()
+    resumed = False
+
+    def _resume():
+        nonlocal resumed
+        if resumed:
+            return
+        resumed = True
+        for p in reversed(pids):
+            with contextlib.suppress(OSError):
+                os.kill(p, signal.SIGCONT)
+
+    prev = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        def _handler(signum, frame, _sig=sig):
+            _resume()
+            signal.signal(_sig, prev[_sig])
+            os.kill(os.getpid(), _sig)
+        prev[sig] = signal.signal(sig, _handler)
+    try:
+        for p in pids:
+            with contextlib.suppress(OSError):
+                os.kill(p, signal.SIGSTOP)
+        yield pids
+    finally:
+        _resume()
+        for sig, h in prev.items():
+            signal.signal(sig, h)
 
 BASELINE_STEPS_PER_SEC = 287316.0 / (1.8 * 24 * 3600)  # 1.847
 BASELINE_EVAL_IMS = 32 / 0.01803  # 1775 im/s: TF-NAS-A, Titan RTX bs=32
@@ -59,11 +130,14 @@ def bench_eval_images_per_sec(batch=256, iters=30):
     for _ in range(6):
         x = chain(x)
     force(x)  # relay: only a value pull truly synchronizes
-    tic = time.perf_counter()
-    for _ in range(iters):
+    with paused_trainers():  # only the timed window; compile ran contended
         x = chain(x)
-    force(x)
-    dt = (time.perf_counter() - tic) / iters
+        force(x)  # drain any in-flight paused-trainer program off the chip
+        tic = time.perf_counter()
+        for _ in range(iters):
+            x = chain(x)
+        force(x)
+        dt = (time.perf_counter() - tic) / iters
     return batch / dt
 
 
@@ -125,12 +199,20 @@ def main():
     force(m["loss"])  # relay: only a value pull truly synchronizes
 
     n_timed = 40
-    tic = time.perf_counter()
-    for i in range(n_timed):
+    with paused_trainers() as paused:
+        if paused:
+            import sys
+            print(f"# paused competing driver jobs for the timed window: "
+                  f"{paused}", file=sys.stderr, flush=True)
         params, mom, arch_params, opt_a, m = one_iter(
-            params, mom, arch_params, opt_a, i)
-    force(m["loss"])
-    dt = time.perf_counter() - tic
+            params, mom, arch_params, opt_a, 0)
+        force(m["loss"])  # drain in-flight paused-trainer work off the chip
+        tic = time.perf_counter()
+        for i in range(n_timed):
+            params, mom, arch_params, opt_a, m = one_iter(
+                params, mom, arch_params, opt_a, i)
+        force(m["loss"])
+        dt = time.perf_counter() - tic
 
     rate = n_timed / dt
     eval_ims = bench_eval_images_per_sec()
