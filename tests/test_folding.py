@@ -62,3 +62,49 @@ def test_folded_hybrid_net_matches_eval_forward():
     vit_blocks = [b for _, _, b in folded.iter_blocks()
                   if b.name == "ViTBlock"]
     assert len(vit_blocks) == 1
+
+
+def test_s2d_stem_fold_matches_folded_forward():
+    """space-to-depth stem rewrite == folded net, exactly (same sums)."""
+    from tfnas_tpu.models.folding import fold_stem_space_to_depth
+
+    parsed = OrderedDict(
+        (stage, OrderedDict((b, (i + 3) % 8)
+                            for i, b in enumerate(ss.block_names(stage))))
+        for stage in ss.STAGE_NAMES)
+    net = EvalNetwork.from_parsed_arch(
+        10, parsed, get_mc_num_dddict(ss.build_mc_mask_dddict()))
+    params, state = net.init(jax.random.PRNGKey(2))
+    state = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * jax.random.normal(
+            jax.random.PRNGKey(hash(a.shape) % 1000), a.shape) ** 2, state)
+
+    folded, fparams = fold_batchnorm(net, params, state)
+    s2d, sparams = fold_stem_space_to_depth(folded, fparams)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3))
+    ref, _ = folded.apply(fparams, {}, x, training=False)
+    got, _ = s2d.apply(sparams, {}, x, training=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    assert s2d.first_stem.name == "SpaceToDepthStem"
+    # geometry bookkeeping preserved for latency printers
+    assert s2d.first_stem.stride == 2
+
+
+def test_s2d_stem_layer_equals_reference_conv_directly():
+    """Unit-level: the rewritten stem conv alone reproduces conv2d 3x3/s2."""
+    from tfnas_tpu.models.folding import SpaceToDepthStem, _s2d_stem_kernel
+    from tfnas_tpu.ops.conv import conv2d
+
+    key = jax.random.PRNGKey(4)
+    w = jax.random.normal(key, (3, 3, 3, 16))
+    b = jax.random.normal(jax.random.fold_in(key, 1), (16,))
+    x = jax.random.normal(jax.random.fold_in(key, 2), (2, 32, 32, 3))
+    ref = conv2d(x, w, stride=2, bias=b)
+
+    lay = SpaceToDepthStem(in_channels=3, out_channels=16, act_func=None)
+    got, _ = lay.apply({"conv": {"kernel": _s2d_stem_kernel(w), "bias": b}},
+                       {}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
