@@ -62,12 +62,18 @@ def _find_trainer_pids():
         first_py = next((a for a in argv if a.endswith(b".py")), b"")
         if os.path.basename(first_py).decode() in _PAUSABLE:
             pids.append(int(pid))
-            try:  # multiprocessing data workers, if any
-                for task in os.listdir(f"/proc/{pid}/task"):
-                    with open(f"/proc/{pid}/task/{task}/children") as f:
-                        pids.extend(int(c) for c in f.read().split())
-            except OSError:
-                pass
+            # whole descendant tree (workers may fork through intermediates)
+            frontier = [int(pid)]
+            while frontier:
+                p = frontier.pop()
+                try:
+                    for task in os.listdir(f"/proc/{p}/task"):
+                        with open(f"/proc/{p}/task/{task}/children") as f:
+                            kids = [int(c) for c in f.read().split()]
+                        frontier.extend(k for k in kids if k not in pids)
+                        pids.extend(kids)
+                except OSError:
+                    pass
     return sorted(set(pids))
 
 
@@ -107,50 +113,76 @@ BASELINE_STEPS_PER_SEC = 287316.0 / (1.8 * 24 * 3600)  # 1.847
 BASELINE_EVAL_IMS = 32 / 0.01803  # 1775 im/s: TF-NAS-A, Titan RTX bs=32
 
 
-def bench_eval_images_per_sec(batch=256, iters=30):
-    """BN-folded TF-NAS-A inference throughput on one chip."""
-    from tfnas_tpu.models.eval_net import EvalNetwork
-    from tfnas_tpu.models.folding import fold_batchnorm
+def bench_eval_images_per_sec(batch=256, iters=30,
+                              config_path="configs/tfnas_a_tpu.config",
+                              num_classes=1000, image_size=224, warm=6):
+    """TF-NAS-A inference throughput on one chip, serving graph.
 
-    with open("configs/tfnas_a_tpu.config") as f:
+    Measures the BN-folded graph AND the folded+space-to-depth-stem graph
+    (fold_stem_space_to_depth, deployment-exact to 1e-5) interleaved in one
+    warm session — the only A/B discipline that is valid on this relay
+    (CLAUDE.md) — and returns (best_img_per_sec, {"folded": .., "s2d": ..}).
+    Compile + warm-up run INSIDE the paused-trainers window: a contended
+    compile leaks into the first timed iters via lazily-finalized programs
+    (the round-4 8.5% capture regression)."""
+    from tfnas_tpu.models.eval_net import EvalNetwork
+    from tfnas_tpu.models.folding import fold_batchnorm, fold_stem_space_to_depth
+
+    with open(config_path) as f:
         cfg = json.load(f)
-    net = EvalNetwork.from_config(1000, cfg)
+    net = EvalNetwork.from_config(num_classes, cfg)
     params, state = net.init(jax.random.PRNGKey(0))
     folded, fparams = fold_batchnorm(net, params, state)
+    s2d, sparams = fold_stem_space_to_depth(folded, fparams)
 
-    @jax.jit
-    def chain(x):
-        logits, _ = folded.apply(fparams, {}, x, training=False)
-        # data-dependent chain so relay caching cannot elide work
-        return x + (logits.mean() * 1e-6).astype(x.dtype)
+    def make_chain(n, p):
+        @jax.jit
+        def chain(x):
+            logits, _ = n.apply(p, {}, x, training=False)
+            # data-dependent chain so relay caching cannot elide work
+            return x + (logits.mean() * 1e-6).astype(x.dtype)
+        return chain
 
+    chains = {"folded": make_chain(folded, fparams),
+              "s2d": make_chain(s2d, sparams)}
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((batch, 224, 224, 3), np.float32),
-                    jnp.bfloat16)
-    for _ in range(6):
-        x = chain(x)
-    force(x)  # relay: only a value pull truly synchronizes
-    with paused_trainers():  # only the timed window; compile ran contended
-        x = chain(x)
-        force(x)  # drain any in-flight paused-trainer program off the chip
-        tic = time.perf_counter()
-        for _ in range(iters):
-            x = chain(x)
-        force(x)
-        dt = (time.perf_counter() - tic) / iters
-    return batch / dt
+    x0 = jnp.asarray(
+        rng.standard_normal((batch, image_size, image_size, 3), np.float32),
+        jnp.bfloat16)
+    rates = {}
+    with paused_trainers():
+        for name, chain in chains.items():  # compile + warm, uncontended
+            x = x0
+            for _ in range(warm):
+                x = chain(x)
+            force(x)  # relay: only a value pull truly synchronizes
+        for name, chain in chains.items():  # interleaved warm timed passes
+            x = chain(x0)
+            force(x)
+            tic = time.perf_counter()
+            for _ in range(iters):
+                x = chain(x)
+            force(x)
+            rates[name] = batch * iters / (time.perf_counter() - tic)
+    return max(rates.values()), {k: round(v, 1) for k, v in rates.items()}
 
 
-def main():
+def bench_search_steps_per_sec(batch=32, size=224, ncls=100, space=None,
+                               n_timed=40, warm=8,
+                               lut_path="latency_pkl/latency_tpu.pkl"):
+    """Steady-state bi-level search weight-steps/sec (the headline metric).
+
+    space=None is the full reference space on ImageNet-100 shapes; tests
+    pass search_space.tiny_space() + small shapes for a CPU smoke."""
     from tfnas_tpu.cost.lut import lat_vectors_for_mc, load_lat_lookup
-    from tfnas_tpu.models import search_space as ss
+    from tfnas_tpu.models import search_space as ss_full
     from tfnas_tpu.models.supernet import SuperNetwork
     from tfnas_tpu.search.parser import get_mc_num_dddict
     from tfnas_tpu.search.train_step import (adam_init, make_search_steps,
                                              zeros_like_momentum)
 
-    batch, size, ncls = 32, 224, 100
-    net = SuperNetwork(ncls)
+    ss = space or ss_full
+    net = SuperNetwork(ncls, space=space)
     key = jax.random.PRNGKey(0)
     params, arch_params = net.init(key)
     mc_mask = ss.build_mc_mask_dddict()
@@ -158,7 +190,7 @@ def main():
     update_masks = net.update_masks(params, mc_mask)
 
     try:
-        lut = load_lat_lookup("latency_pkl/latency_tpu.pkl")
+        lut = load_lat_lookup(lut_path) if lut_path else None
     except FileNotFoundError:
         lut = None
     if lut is not None:
@@ -192,30 +224,29 @@ def main():
                 T, jax.random.fold_in(k, 1))
         return params, mom, arch_params, opt_a, m
 
-    # compile + warmup
-    for i in range(6):
-        params, mom, arch_params, opt_a, m = one_iter(
-            params, mom, arch_params, opt_a, i)
-    force(m["loss"])  # relay: only a value pull truly synchronizes
-
-    n_timed = 40
     with paused_trainers() as paused:
         if paused:
             import sys
-            print(f"# paused competing driver jobs for the timed window: "
-                  f"{paused}", file=sys.stderr, flush=True)
-        params, mom, arch_params, opt_a, m = one_iter(
-            params, mom, arch_params, opt_a, 0)
-        force(m["loss"])  # drain in-flight paused-trainer work off the chip
+            print(f"# paused competing driver jobs for compile+warmup+timed "
+                  f"window: {paused}", file=sys.stderr, flush=True)
+        # Compile + warm-up INSIDE the pause: round-4's capture regressed
+        # 8.5% because a contended compile bled into the timed iters.
+        for i in range(warm):
+            params, mom, arch_params, opt_a, m = one_iter(
+                params, mom, arch_params, opt_a, i)
+        force(m["loss"])  # relay: only a value pull truly synchronizes
         tic = time.perf_counter()
         for i in range(n_timed):
             params, mom, arch_params, opt_a, m = one_iter(
                 params, mom, arch_params, opt_a, i)
         force(m["loss"])
         dt = time.perf_counter() - tic
+    return n_timed / dt
 
-    rate = n_timed / dt
-    eval_ims = bench_eval_images_per_sec()
+
+def main():
+    rate = bench_search_steps_per_sec()
+    eval_ims, eval_ab = bench_eval_images_per_sec()
     print(json.dumps({
         "metric": "supernet_search_weight_steps_per_sec",
         "value": round(rate, 3),
@@ -226,6 +257,7 @@ def main():
             "value": round(eval_ims, 1),
             "unit": "images/sec",
             "vs_baseline": round(eval_ims / BASELINE_EVAL_IMS, 2),
+            "serving_graphs": eval_ab,
         },
     }))
 
