@@ -49,6 +49,11 @@ def main():
                         help='input resolution for the FLOPs report')
     args = parser.parse_args()
 
+    # 'hybrid' intentionally maps to space=None: it shares the reference
+    # macro skeleton, and EvalNetwork.from_parsed_arch dispatches ViT
+    # candidates purely by op_idx >= NUM_OPS in the parsed arch — the flag
+    # value only documents provenance (and gates nothing here, unlike in
+    # train_search.py where it selects the supernet class).
     space = None
     if args.space == 'tiny':
         from tfnas_tpu.models import search_space as ss

@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Evaluate a trained TF-NAS model on the validation set (top-1/top-5).
 
-CLI contract matches the reference test.py:30-44.
+CLI contract matches the reference test.py:30-44. Like the reference's
+multi-GPU DataParallel inference (reference test.py:67), evaluation rides
+the device mesh: the same shard_map val_step train_eval.py validates with,
+batch sharded over the 'data' axis, metrics psum-reduced on device
+(exact masked means over the padded final batch).
 """
 
 import argparse
@@ -15,11 +19,13 @@ import numpy as np
 from tfnas_tpu.data import DataLoader, ImageList, synthetic_loader
 from tfnas_tpu.data.transforms import device_normalizer
 from tfnas_tpu.models.eval_net import EvalNetwork
+from tfnas_tpu.parallel import batch_sharding, make_eval_steps, make_mesh
+from tfnas_tpu.parallel.mesh import put_global_batch
+from tfnas_tpu.parallel.train_dp import EvalTrainState
 from tfnas_tpu.search.parser import (get_mc_num_dddict,
                                      get_op_and_depth_weights,
                                      parse_architecture)
 from tfnas_tpu.utils import AverageMeter, load_checkpoint
-from tfnas_tpu.utils.metrics import accuracy, masked_mean
 
 parser = argparse.ArgumentParser("testing the trained architectures (TPU)")
 parser.add_argument('--val_root', type=str, default='')
@@ -35,6 +41,8 @@ parser.add_argument('--batch_size', type=int, default=512)
 parser.add_argument('--num_classes', type=int, default=1000)
 parser.add_argument('--synthetic', action='store_true')
 parser.add_argument('--image_size', type=int, default=224)
+parser.add_argument('--n_devices', type=int, default=0,
+                    help='devices in the eval mesh (0 = all visible)')
 
 
 def main():
@@ -60,16 +68,19 @@ def main():
 
     params, bn_state = ckpt['params'], ckpt['bn_state']
 
-    prep = device_normalizer(jnp.float32)
+    mesh = make_mesh(args.n_devices or None)
+    n_dev = mesh.devices.size
+    assert args.batch_size % n_dev == 0, (
+        f"--batch_size {args.batch_size} must divide over {n_dev} devices")
+    # fp32 compute: test.py is the accuracy scorer (all committed family
+    # rescores were produced fp32); bf16 stays the training-path default
+    _, val_step = make_eval_steps(net, mesh, num_classes=args.num_classes,
+                                  compute_dtype=jnp.float32)
+    # momentum is never touched by val_step; None is an empty pytree leaf
+    state = EvalTrainState(params, bn_state, None, jnp.zeros((), jnp.int32))
+    xsh = batch_sharding(mesh)
 
-    @jax.jit
-    def fwd(p, s, x, y, wmask):
-        logits, _ = net.apply(p, s, x, training=False)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-        nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
-        loss = masked_mean(nll, wmask)
-        top1, top5 = accuracy(logits, y, topk=(1, 5), weights=wmask)
-        return loss, top1, top5
+    prep = device_normalizer(jnp.float32)
 
     if args.synthetic:
         batches = synthetic_loader(args.batch_size, 8, args.num_classes,
@@ -87,11 +98,12 @@ def main():
         n = batch[2] if len(batch) > 2 else len(y)
         wmask = np.zeros((len(y),), np.float32)
         wmask[:n] = 1.0
-        loss, top1, top5 = fwd(params, bn_state, prep(jnp.asarray(x)),
-                               jnp.asarray(y), jnp.asarray(wmask))
-        meters["loss"].update(float(loss), n)
-        meters["top1"].update(float(top1), n)
-        meters["top5"].update(float(top5), n)
+        x = put_global_batch(np.asarray(x), xsh)
+        y = put_global_batch(np.asarray(y), xsh)
+        m = val_step(state, prep(x), y, put_global_batch(wmask, xsh))
+        meters["loss"].update(float(m["loss"]), n)
+        meters["top1"].update(float(m["top1"]), n)
+        meters["top5"].update(float(m["top5"]), n)
     print('Val_acc_top1: {:.4f}'.format(meters["top1"].avg))
     print('Val_acc_top5: {:.4f}'.format(meters["top5"].avg))
 

@@ -33,7 +33,14 @@ def test_corrupt_zero_is_the_legacy_render():
     (the pinned proxy60 regenerates bit-identically from its README
     command); pinned by checksum of one fixed (seed,label,i,version)
     tuple. If a renderer change is intentional, re-pin AND regenerate the
-    committed proxy60 evidence."""
+    committed proxy60 evidence.
+
+    NOTE: the pin also depends on the NumPy Generator bit-stream
+    (Philox/PCG streams are stable in practice but NEP 19 permits
+    distribution-method changes across NumPy versions). If this fails
+    after a NumPy upgrade with the renderer untouched, the stream moved:
+    re-pin the checksum and regenerate the committed proxy60 evidence in
+    the same environment."""
     img = render_example_v3(17, np.random.default_rng((7, 17, 150, 3)), 256)
     assert int(img.astype(np.uint64).sum()) == 21777547
 

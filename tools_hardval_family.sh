@@ -41,8 +41,16 @@ for M in $MEMBERS; do
   fi
   if [ -f "$OUT" ]; then echo "=== $M: hardtest.txt exists, skip"; continue; fi
   echo "=== hard-val $M: $BEST on $HARDROOT"
-  python -u test.py --val_root "$HARDROOT" --val_list "$HARDROOT/proxy_val.txt" \
-    --config_path "$CFG" --weights "$BEST" \
-    --batch_size $BS --num_classes 60 | tee "$OUT"
+  # write to .tmp and mv only on success: a crashed scorer must not leave
+  # a done-marker that the idempotency check above would honor forever
+  if python -u test.py --val_root "$HARDROOT" \
+      --val_list "$HARDROOT/proxy_val.txt" \
+      --config_path "$CFG" --weights "$BEST" \
+      --batch_size $BS --num_classes 60 | tee "$OUT.tmp" \
+      && grep -q Val_acc_top1 "$OUT.tmp"; then
+    mv "$OUT.tmp" "$OUT"
+  else
+    echo "=== $M: scoring FAILED (kept $OUT.tmp for inspection)"
+  fi
 done
 echo "=== hard-val scoring done"
