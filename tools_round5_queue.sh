@@ -27,4 +27,8 @@ JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 RC=$?
 log "stage B done rc=$RC (log /tmp/q5b_dryrun_full.log)"
 
+log "stage C: full fast suite (uncontended core)"
+python -m pytest tests/ -x -q > /tmp/q5c_pytest.log 2>&1
+log "stage C done rc=$? (log /tmp/q5c_pytest.log)"
+
 log "round-5 queue complete"
