@@ -27,6 +27,22 @@ JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 RC=$?
 log "stage B done rc=$RC (log /tmp/q5b_dryrun_full.log)"
 
+log "stage B2: hard-val scoring of the ref-recipe member (2 severities)"
+RR_CFG=checkpoints_e2e/proxy60-ref-recipe/search-20260820-133107-proxy60-ref-recipe/model.config
+RR_EVAL=$(ls -dt checkpoints_e2e/proxy60-ref-recipe-retrain/eval-* | head -1)
+for SPEC in "/root/data/proxy60hard:hardtest.txt" \
+            "/root/data/proxy60hard50:hardtest_c50.txt"; do
+  HR=${SPEC%%:*}; OUT="$RR_EVAL/${SPEC##*:}"
+  [ -f "$OUT" ] && continue
+  if python -u test.py --val_root "$HR" --val_list "$HR/proxy_val.txt" \
+      --config_path "$RR_CFG" --weights "$RR_EVAL/model_best.pkl" \
+      --batch_size 64 --num_classes 60 | tee "$OUT.tmp" \
+      && grep -q Val_acc_top1 "$OUT.tmp"; then
+    mv "$OUT.tmp" "$OUT"
+  fi
+done
+log "stage B2 done"
+
 log "stage C: full fast suite (uncontended core)"
 python -m pytest tests/ -x -q > /tmp/q5c_pytest.log 2>&1
 log "stage C done rc=$? (log /tmp/q5c_pytest.log)"
