@@ -10,6 +10,16 @@ cd /root/repo
 
 log () { echo "=== [q5 $(date -u +%H:%M:%S)] $*"; }
 
+log "stage A0: lambda-sweep boost probe (lambda=0.5 boost=4, target 0.35)"
+# completes the item-3 question: q4 measures how far the reference's
+# symmetric loss undershoots at lambda 0.1 and what symmetric lambda 2.0
+# recovers; b4 applies the SAME under-target pull as symmetric 2.0
+# (0.5x4) while keeping reference-parity weighting above target — the
+# asymmetric fix, isolated.
+SPECS="b4:0.5:4.0" EPOCHS=20 WARMUP=8 SCAN=4 \
+  bash tools_lambda_sweep.sh > /tmp/q5a0_boost.log 2>&1
+log "stage A0 done (log /tmp/q5a0_boost.log)"
+
 log "stage A: single-chip search occupancy ablation (bs 32/64/128/256)"
 python tools_occupancy_ab.py --json_out occupancy_ablation.json \
   > /tmp/q5a_occupancy.log 2>&1
