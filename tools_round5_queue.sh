@@ -53,6 +53,38 @@ for SPEC in "/root/data/proxy60hard:hardtest.txt" \
 done
 log "stage B2 done"
 
+log "stage D: batch-size arch-parity pair on proxy60 (bs 32 vs bs 128)"
+# item-6 fidelity half: does searching at the occupancy-filling batch
+# change the searched architecture? Same seed/schedule/target, only
+# batch and (linearly scaled) w_lr differ; compare the parsed archs.
+for SPEC in "32:0.025" "128:0.1"; do
+  BS=${SPEC%%:*}; WLR=${SPEC##*:}
+  NOTE=bsparity-bs$BS
+  SAVE=./checkpoints_e2e/bsparity/$NOTE
+  RUN_DONE=$(ls -d "$SAVE"/search-*-"$NOTE"/model.config 2>/dev/null | head -1)
+  [ -n "$RUN_DONE" ] && continue
+  python tools_run_watchdog.py --save "$SAVE" --stall_sec 1200 \
+    --wait_for_device -- \
+    python -u train_search.py \
+      --img_root /root/data/proxy60 \
+      --train_list /root/data/proxy60/proxy_train.txt \
+      --val_list /root/data/proxy60/proxy_val.txt \
+      --lookup_path ./latency_pkl/latency_tpu_v5e_bs32.pkl --save "$SAVE" \
+      --epochs 26 --warmup_epochs 8 --batch_size $BS --w_lr $WLR \
+      --image_size 224 --num_classes 60 --seed 2 \
+      --T 5.0 --T_decay 0.85 --lambda_lat 0.5 --target_lat 0.25 \
+      --rrc_min_scale 0.35 --save_freq 8 --scan_units 4 --note "$NOTE" \
+      > /tmp/q5d_bs$BS.log 2>&1
+  RUN_DIR=$(ls -dt "$SAVE"/search-*-"$NOTE" 2>/dev/null | head -1)
+  FINAL=$(ls -t "$RUN_DIR"/searched_model_*.pkl 2>/dev/null | head -1)
+  [ -n "$FINAL" ] && python -u parsing_model.py --model_path "$FINAL" \
+      --save_path "$RUN_DIR/model.config" \
+      --lookup_path ./latency_pkl/latency_tpu_v5e_bs32.pkl \
+      --num_classes 60 >> /tmp/q5d_bs$BS.log 2>&1
+  rm -f "$RUN_DIR"/searched_model_*.pkl
+done
+log "stage D done (logs /tmp/q5d_bs*.log)"
+
 log "stage C: full fast suite (uncontended core)"
 python -m pytest tests/ -x -q > /tmp/q5c_pytest.log 2>&1
 log "stage C done rc=$? (log /tmp/q5c_pytest.log)"
