@@ -299,6 +299,18 @@ def test_lat_under_boost_parity_and_effect(small_search_setup):
     assert not np.array_equal(np.asarray(a_b["log_alphas"]),
                               np.asarray(a_ref["log_alphas"]))
 
+    # While UNDER target, (lambda, boost B) and (B*lambda, boost 1) are
+    # the same loss pointwise, so the arch step is bit-identical — the
+    # mechanism behind the round-5 run-level result where lambda 0.5 x
+    # boost 4 parsed to the identical arch as symmetric lambda 2.0
+    # (checkpoints_e2e/lambda-sweep/lsweep-{b4,l2.0}, DESIGN.md s11).
+    a_bl, _, m_bl = run(lambda_lat=0.5, lat_under_boost=4.0)
+    a_sym, _, m_sym = run(lambda_lat=2.0, lat_under_boost=1.0)
+    np.testing.assert_array_equal(np.asarray(a_bl["log_alphas"]),
+                                  np.asarray(a_sym["log_alphas"]))
+    np.testing.assert_allclose(float(m_bl["loss_l"]),
+                               float(m_sym["loss_l"]), rtol=1e-6)
+
 
 class _ToySearchNet:
     """Minimal stand-in exposing the SuperNetwork apply_* interface.
