@@ -66,8 +66,9 @@ def alpha_stats(ckpt_paths):
             b = np.asarray(b, np.float64)
             e = np.exp(b - b.max())
             betas[stage] = (e / e.sum()).tolist()
+        vit = prob[:, 8].tolist() if prob.shape[-1] > 8 else None
         out.append((int(ck["epoch"]), float(ent),
-                    prob.argmax(-1).tolist(), betas))
+                    prob.argmax(-1).tolist(), betas, vit))
     return out
 
 
@@ -102,13 +103,26 @@ def main():
     max_ent = float(np.log(9 if args.space == "hybrid" else 8))
     print(f"\n== (b) alpha entropy (uniform = {max_ent:.3f} nats) ==")
     prev_argmax = None
-    for ep, ent, am, _ in stats:
+    for ep, ent, am, _, _ in stats:
         flips = (sum(a != b for a, b in zip(am, prev_argmax))
                  if prev_argmax is not None else "-")
         print(f"ckpt epoch {ep:2d}: mean entropy {ent:.4f}  "
               f"argmax flips vs prev: {flips}")
         prev_argmax = am
     print("final argmax ops per block:", stats[-1][2])
+
+    # hybrid space: where does the 9th (ViT) candidate's probability mass
+    # go, and when do blocks elect it?
+    if stats[-1][4] is not None:
+        print("\n== (b1) ViT candidate (op 8) trajectory ==")
+        for ep, _, am, _, vit in stats:
+            elected = sum(a == 8 for a in am)
+            print(f"ckpt epoch {ep:2d}: blocks with argmax=ViT: {elected:2d}"
+                  f"  mean p(ViT) {np.mean(vit):.4f}"
+                  f"  max p(ViT) {np.max(vit):.4f}")
+        final = stats[-1][4]
+        print("final per-block p(ViT):",
+              [round(v, 3) for v in final])
 
     # depth freedom: the sink-connecting betas' softmax per stage
     # (model_search.py:157-206) — did depth move away from uniform, and
